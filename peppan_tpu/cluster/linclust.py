@@ -1,0 +1,72 @@
+"""Gene deduplication / clustering — the MMseqs2-linclust replacement.
+
+PEPPAN phase 3 (reference: PEPPA.py::getClust driving `mmseqs linclust` at
+``--clust_identity`` ~0.9 and ``--clust_match_prop``; mount empty at build
+time, semantics per SURVEY.md §2.1/§2.2): pool all genes, cluster at high
+identity, and pick one exemplar per cluster; exemplars are what the
+all-vs-all self-comparison and per-genome mapping phases operate on.
+
+TPU-native pipeline (SURVEY.md §7.1.5):
+  minimizer sketch (device) -> shared-minimizer candidate edges (host join)
+  -> banded-SW verification (device, exact identity/coverage) -> union-find
+  -> deterministic exemplar choice (longest member, then smallest index).
+
+Unlike linclust's greedy centroid assignment, membership here is decided by
+verified alignment against the cluster graph's connected components; the
+identity/coverage thresholds carry the same meaning as PEPPAN's flags.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..io.tokens import GeneStore
+from ..ops import pairs as prs
+from .unionfind import connected_components
+
+
+@dataclasses.dataclass
+class ClusterResult:
+    root: np.ndarray          # int64[n_genes] cluster root (smallest index)
+    exemplar: np.ndarray      # int64[n_genes] exemplar gene of each gene's cluster
+    exemplar_ids: np.ndarray  # int64[n_clusters] sorted unique exemplars
+    hits: prs.PairHits        # the verified edges (for reuse/inspection)
+
+    @property
+    def n_clusters(self) -> int:
+        return len(self.exemplar_ids)
+
+
+def cluster_genes(store: GeneStore, *, identity: float = 0.9,
+                  coverage: float = 0.9, k: int = 13, w: int = 8,
+                  band: int = 128, max_group: int = 64,
+                  batch: int = 256) -> ClusterResult:
+    """Cluster pooled genes at high identity; choose exemplars.
+
+    identity / coverage mirror PEPPAN's --clust_identity / --clust_match_prop
+    (defaults per SURVEY.md §5.6; exact reference defaults TO-VERIFY once the
+    mount is populated).  Coverage is required of BOTH sequences, matching
+    mmseqs cov-mode 0.
+    """
+    n = store.n_genes
+    table = prs.build_minimizer_table(store, k=k, w=w)
+    cand, _shared, _diag = prs.candidate_pairs(table, max_group=max_group)
+    hits = prs.verify_pairs(store, cand, band=band, batch=batch)
+    keep = ((hits.identity >= identity) & (hits.qcov >= coverage)
+            & (hits.tcov >= coverage))
+    edges = hits.pairs[keep]
+    root = connected_components(n, edges)
+
+    # exemplar per cluster: longest member, ties -> smallest gene index
+    exemplar_of_root: dict = {}
+    order = np.lexsort((np.arange(n), -store.length.astype(np.int64)))
+    for g in order:
+        r = root[g]
+        if r not in exemplar_of_root:
+            exemplar_of_root[r] = int(g)
+    exemplar = np.array([exemplar_of_root[r] for r in root], dtype=np.int64)
+    exemplar_ids = np.unique(exemplar)
+    return ClusterResult(root=root, exemplar=exemplar,
+                         exemplar_ids=exemplar_ids, hits=hits)

@@ -1,0 +1,54 @@
+"""Typed configuration — the replacement for PEPPAN's global ``params`` dict.
+
+Every knob mirrors a PEPPAN CLI flag (reference: PEPPA.py argparse — mount
+empty at build time; names/defaults per SURVEY.md §5.6, tagged TO-VERIFY
+there).  The CLI in peppan_tpu/cli.py maps PEPPAN-style flags onto this
+dataclass 1:1 so reference command lines keep working.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    # --- io ---
+    prefix: str = "PEPPAN_TPU"          # --prefix/-p : output file prefix
+    min_cds: int = 120                  # --min_cds : drop shorter CDS (bp)
+    incomplete_cds: bool = False        # --incompleteCDS : keep broken CDS
+    gtable: int = 11                    # --gtable : NCBI translation table
+
+    # --- clustering (phase 3; mmseqs-linclust equivalent) ---
+    clust_identity: float = 0.9         # --clust_identity
+    clust_match_prop: float = 0.9       # --clust_match_prop
+
+    # --- similarity search (phases 4-5; uberBlast equivalent) ---
+    match_identity: float = 0.65        # --match_identity
+    match_prop: float = 0.5             # --match_prop : min aligned fraction
+    match_frag_len: int = 50            # --match_frag_len : min fragment bp
+    nucl_only: bool = False             # --nucl : skip protein-level search
+
+    # --- paralog splitting (phase 6) ---
+    allowed_sigma: float = 3.0          # --allowed_sigma : divergence sigmas
+    paralog_split: bool = True
+
+    # --- greedy assignment (phase 7) ---
+    synteny_gap: int = 300              # --synteny_gap
+    synteny_diff: float = 1.2           # --synteny_diff
+    neighbor_check: bool = True         # not --noNeighborCheck
+    pseudogene_frac: float = 0.8        # --pseudogene : min intact fraction
+
+    # --- seeding / kernels (no reference analog; TPU-native knobs) ---
+    kmer: int = 13
+    window: int = 8
+    band: int = 128
+    gap_open: int = 5
+    gap_extend: int = 2
+    max_minimizer_group: int = 64
+    sw_batch: int = 512
+
+    # --- execution ---
+    continue_run: bool = False          # --continue : reuse phase outputs
+    mesh_data: int = 1                  # mesh axis sizes ('data', 'db')
+    mesh_db: int = 1

@@ -1,0 +1,110 @@
+"""Output writers: PEPPAN.gff, allele FASTA, gene_content matrix.
+
+Format parity targets (reference: PEPPA.py::write_output and
+PEPPA_parser.py — mount empty at build time; see SURVEY.md §0 and §7.3.6):
+because the reference files are unavailable, these formats are defined here
+once, documented, and golden-tested against committed fixtures of OUR OWN
+output (self-consistency oracle).  When the reference mount is populated,
+re-validate byte-layout against a real PEPPAN run and amend.
+
+Files (for prefix P):
+  P.PEPPAN.gff       unified pan-genome annotation; one CDS row per gene
+                     region with ortholog-group provenance attributes
+  P.allele.fna       one record per distinct allele per ortholog group,
+                     named <group>_<allele_index>
+  P.gene_content.Rtab Roary-compatible TSV presence/absence (0/1) matrix
+  P.gene_content.csv  same with per-genome allele counts
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import alphabet
+from .tokens import GeneStore, GenomeStore
+
+
+def write_pan_gff(path: str, genome_store: GenomeStore, gene_store: GeneStore,
+                  group_of_gene: np.ndarray, group_names: list,
+                  status: np.ndarray | None = None) -> None:
+    """Write the unified pan-genome GFF.
+
+    group_of_gene: int[n_genes] group index (-1 = unassigned/excluded)
+    group_names:   list[str] group display names
+    status:        optional str array: 'CDS' / 'pseudogene' / 'fragment'
+    Rows are ordered (genome, contig, start) — deterministic.
+    """
+    n = gene_store.n_genes
+    order = np.lexsort((gene_store.start, gene_store.contig,
+                        gene_store.genome))
+    allele_counter: dict = {}
+    with open(path, "w") as fh:
+        fh.write("##gff-version 3\n")
+        fh.write("##source peppan_tpu pan-genome\n")
+        for gi, gname in enumerate(genome_store.genome_names):
+            fh.write(f"##genome {gname}\n")
+        for idx in order:
+            g = int(group_of_gene[idx])
+            if g < 0:
+                continue
+            gname = genome_store.genome_names[gene_store.genome[idx]]
+            cname = genome_store.contig_names[gene_store.contig[idx]]
+            ftype = "CDS" if status is None else str(status[idx])
+            strand = "+" if gene_store.strand[idx] > 0 else "-"
+            allele_counter[g] = allele_counter.get(g, 0) + 1
+            attrs = (f"ID={gname}:{gene_store.names[idx]};"
+                     f"inference=ortholog_group:{group_names[g]};"
+                     f"locus_tag={group_names[g]}")
+            fh.write(f"{cname}\t{gname}\t{ftype}\t{gene_store.start[idx]}\t"
+                     f"{gene_store.end[idx]}\t.\t{strand}\t0\t{attrs}\n")
+
+
+def write_alleles(path: str, gene_store: GeneStore, group_of_gene: np.ndarray,
+                  group_names: list) -> None:
+    """One FASTA record per distinct allele sequence per group.
+
+    Alleles are numbered per group by first occurrence in gene order
+    (genome-major) — deterministic.
+    """
+    n = gene_store.n_genes
+    by_group: dict = {}
+    for idx in range(n):
+        g = int(group_of_gene[idx])
+        if g < 0:
+            continue
+        by_group.setdefault(g, []).append(idx)
+    with open(path, "w") as fh:
+        for g in sorted(by_group):
+            seen: dict = {}
+            for idx in by_group[g]:
+                seq = gene_store.gene_tokens(idx).tobytes()
+                if seq not in seen:
+                    seen[seq] = len(seen) + 1
+                    s = alphabet.decode_dna(gene_store.gene_tokens(idx))
+                    fh.write(f">{group_names[g]}_{seen[seq]}\n")
+                    for i in range(0, len(s), 80):
+                        fh.write(s[i:i + 80] + "\n")
+
+
+def presence_matrix(gene_store: GeneStore, group_of_gene: np.ndarray,
+                    n_groups: int, n_genomes: int) -> np.ndarray:
+    """int32[n_groups, n_genomes] copy counts (device-friendly scatter)."""
+    mat = np.zeros((n_groups, n_genomes), dtype=np.int32)
+    valid = group_of_gene >= 0
+    np.add.at(mat, (group_of_gene[valid], gene_store.genome[valid]), 1)
+    return mat
+
+
+def write_gene_content(path_rtab: str, path_csv: str, matrix: np.ndarray,
+                       group_names: list, genome_names: list) -> None:
+    order = np.argsort(np.asarray(group_names, dtype=object))
+    with open(path_rtab, "w") as fh:
+        fh.write("Gene\t" + "\t".join(genome_names) + "\n")
+        for g in order:
+            row = "\t".join("1" if c > 0 else "0" for c in matrix[g])
+            fh.write(f"{group_names[g]}\t{row}\n")
+    with open(path_csv, "w") as fh:
+        fh.write("Gene," + ",".join(genome_names) + "\n")
+        for g in order:
+            fh.write(group_names[g] + "," +
+                     ",".join(str(int(c)) for c in matrix[g]) + "\n")

@@ -1,0 +1,106 @@
+"""k-mer minimizer sketching — the seeding stage of the alignment engine.
+
+Replaces the seeding machinery of PEPPAN's external tools (blastn 11-mer
+lookup, MMseqs2 k-mer prefilter, DIAMOND double indexing; SURVEY.md §2.2)
+with one uniform device-side primitive: w-window minimizers of canonical
+2-bit-packed k-mers, computed as fully vectorized int32 ops over padded
+(batch, length) token matrices — no data-dependent shapes.
+
+Downstream consumers:
+  - cluster/linclust: genes sharing a minimizer become candidate cluster
+    edges, verified by banded SW;
+  - self-comparison and genome mapping: shared minimizers seed (query,
+    target, diagonal) candidate tuples for the tile engine.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INVALID_HASH = np.uint32(0xFFFFFFFF)
+
+
+def _mix32(x: jax.Array) -> jax.Array:
+    """murmur3 finalizer — invertible uint32 mixing."""
+    x = x ^ (x >> 16)
+    x = x * np.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * np.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def kmer_hashes(tokens: jax.Array, k: int = 15) -> tuple:
+    """Canonical k-mer hashes at every position of padded token rows.
+
+    tokens: int8[P, L] DNA tokens (PAD/N >= 4 invalidate overlapping k-mers)
+    Returns (hash uint32[P, L], strand bool[P, L]); positions whose k-mer
+    window runs past L or contains non-ACGT get INVALID_HASH.  strand is
+    True where the forward k-mer is the canonical one.
+    """
+    if not 1 <= k <= 16:
+        raise ValueError("k must be in [1, 16]")
+    P, L = tokens.shape
+    t = tokens.astype(jnp.uint32)
+    bad = (t >= 4)
+    tc = (3 - t) % 4  # complement (garbage where bad; masked below)
+
+    fwd = jnp.zeros((P, L), jnp.uint32)
+    rc = jnp.zeros((P, L), jnp.uint32)
+    anybad = jnp.zeros((P, L), dtype=bool)
+    for j in range(k):
+        tj = jnp.roll(t, -j, axis=1)
+        cj = jnp.roll(tc, -j, axis=1)
+        fwd = fwd | (tj << np.uint32(2 * (k - 1 - j)))
+        rc = rc | (cj << np.uint32(2 * j))
+        anybad = anybad | jnp.roll(bad, -j, axis=1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (P, L), 1)
+    invalid = anybad | (pos > L - k)
+    strand = fwd <= rc
+    canon = jnp.minimum(fwd, rc)
+    h = _mix32(canon)
+    # reserve INVALID_HASH: valid hashes clamp to 0xFFFFFFFE
+    h = jnp.minimum(h, np.uint32(0xFFFFFFFE))
+    return jnp.where(invalid, INVALID_HASH, h), strand
+
+
+@functools.partial(jax.jit, static_argnames=("w",))
+def minimizer_flags(hashes: jax.Array, w: int = 10) -> jax.Array:
+    """Leftmost-min w-window minimizer flags.
+
+    hashes: uint32[P, L].  A position p is flagged iff it is the leftmost
+    minimum of at least one window of w consecutive k-mer positions.
+    Deterministic by construction (SURVEY.md §4.2.3).
+    """
+    P, L = hashes.shape
+    # stack the w shifted views: win[j][:, s] = h[s + j]
+    shifted = jnp.stack(
+        [jnp.roll(hashes, -j, axis=1) for j in range(w)], axis=0)
+    # positions s > L - w have windows running off the row; rolled-in values
+    # come from the row start — mask them to INVALID so they never win
+    pos = jax.lax.broadcasted_iota(jnp.int32, (P, L), 1)
+    for j in range(w):
+        shifted = shifted.at[j].set(
+            jnp.where(pos + j < L, shifted[j], INVALID_HASH))
+    wmin = jnp.min(shifted, axis=0)                      # [P, L] per start s
+    off = jnp.argmin(shifted, axis=0).astype(jnp.int32)  # leftmost min
+    valid_win = (wmin != INVALID_HASH) & (pos <= L - w)
+    # scatter: flag position s + off[s] for each valid window start s
+    tgt = jnp.clip(pos + off, 0, L - 1)
+    flags = jnp.zeros((P, L), dtype=bool)
+    flags = flags.at[
+        jax.lax.broadcasted_iota(jnp.int32, (P, L), 0), tgt
+    ].max(valid_win)
+    return flags
+
+
+def sketch_batch(tokens: np.ndarray, k: int = 15, w: int = 10) -> tuple:
+    """Host convenience: (hashes, strand, flags) for one padded batch."""
+    h, s = kmer_hashes(jnp.asarray(tokens), k)
+    f = minimizer_flags(h, w)
+    return np.asarray(h), np.asarray(s), np.asarray(f)

@@ -1,0 +1,193 @@
+"""Candidate-pair generation: minimizer join + batched SW verification.
+
+This is the TPU-era replacement for PEPPAN's uberBlast self-comparison
+(reference: PEPPA.py::get_similar_pairs + modules/uberBlast.py — mount empty
+at build time; pipeline position per SURVEY.md §3.1 phase 4): instead of
+blastn/diamond subprocess searches, genes that share a canonical minimizer
+become candidate pairs, and each candidate is verified by the banded-SW
+engine to produce exact identity/coverage.
+
+Host side here is deliberately thin: sort-based hash join over the
+minimizer table (numpy), with a repetitive-minimizer cap (groups larger
+than `max_group` are skipped, minimap2-style) so pathological seeds cannot
+blow up the pair list.  All alignment math runs on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..io import alphabet
+from ..io.tokens import GeneStore, make_length_buckets, pad_to_dense
+from . import minimizers, sw
+
+
+@dataclasses.dataclass
+class MinimizerTable:
+    """Flat (hash, gene, pos) minimizer occurrence table, hash-sorted."""
+    hash: np.ndarray   # uint32[n]
+    gene: np.ndarray   # int32[n]
+    pos: np.ndarray    # int32[n]
+
+
+def build_minimizer_table(store: GeneStore, k: int = 13, w: int = 8,
+                          batch: int = 512) -> MinimizerTable:
+    """Sketch every gene (device, padded batches) -> host occurrence table."""
+    n = store.n_genes
+    if n == 0:
+        z = np.zeros(0, np.uint32)
+        return MinimizerTable(z, z.astype(np.int32), z.astype(np.int32))
+    buckets = make_length_buckets(int(store.length.max()))
+    order = np.argsort(store.length, kind="stable")
+    hs, gs, ps = [], [], []
+    i = 0
+    while i < n:
+        j = min(i + batch, n)
+        idx = order[i:j]
+        width = int(buckets[np.searchsorted(
+            buckets, int(store.length[idx].max()), side="left")])
+        dense = pad_to_dense(store, idx, width)
+        h, _, f = minimizers.sketch_batch(dense, k, w)
+        rows, cols = np.nonzero(f)
+        hs.append(h[rows, cols])
+        gs.append(idx[rows].astype(np.int32))
+        ps.append(cols.astype(np.int32))
+        i = j
+    h = np.concatenate(hs)
+    g = np.concatenate(gs)
+    p = np.concatenate(ps)
+    order = np.lexsort((g, h))
+    return MinimizerTable(h[order], g[order], p[order])
+
+
+def candidate_pairs(table: MinimizerTable, *, max_group: int = 64,
+                    min_shared: int = 1) -> tuple:
+    """Hash-join the minimizer table against itself.
+
+    Returns (pairs int32[m, 2], shared int32[m], diag int32[m]) where
+    pairs[:, 0] < pairs[:, 1], shared counts distinct shared minimizers and
+    diag is the median (qpos - tpos) seed offset.  Deterministic: pairs
+    sorted lexicographically.
+    """
+    h = table.hash
+    if len(h) == 0:
+        return (np.zeros((0, 2), np.int32), np.zeros(0, np.int32),
+                np.zeros(0, np.int32))
+    # group boundaries over equal hashes
+    starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+    ends = np.r_[starts[1:], len(h)]
+    a_list, b_list, d_list = [], [], []
+    for s, e in zip(starts, ends):
+        sz = e - s
+        if sz < 2 or sz > max_group:
+            continue
+        g = table.gene[s:e]
+        p = table.pos[s:e]
+        ii, jj = np.triu_indices(sz, k=1)
+        ga, gb = g[ii], g[jj]
+        pa, pb = p[ii], p[jj]
+        keep = ga != gb
+        swap = ga > gb
+        a = np.where(swap, gb, ga)[keep]
+        b = np.where(swap, ga, gb)[keep]
+        d = np.where(swap, pb - pa, pa - pb)[keep]
+        a_list.append(a)
+        b_list.append(b)
+        d_list.append(d)
+    if not a_list:
+        return (np.zeros((0, 2), np.int32), np.zeros(0, np.int32),
+                np.zeros(0, np.int32))
+    a = np.concatenate(a_list).astype(np.int64)
+    b = np.concatenate(b_list).astype(np.int64)
+    d = np.concatenate(d_list).astype(np.int32)
+    key = (a << 32) | b
+    order = np.argsort(key, kind="stable")
+    key, d = key[order], d[order]
+    starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+    counts = np.diff(np.r_[starts, len(key)])
+    # median diag per pair via segment medians
+    diag = np.empty(len(starts), np.int32)
+    for idx, (s, c) in enumerate(zip(starts, counts)):
+        seg = np.sort(d[s:s + c])
+        diag[idx] = seg[(c - 1) // 2]
+    ukey = key[starts]
+    pairs = np.stack([(ukey >> 32).astype(np.int32),
+                      (ukey & 0xFFFFFFFF).astype(np.int32)], axis=1)
+    shared = counts.astype(np.int32)
+    keep = shared >= min_shared
+    return pairs[keep], shared[keep], diag[keep]
+
+
+@dataclasses.dataclass
+class PairHits:
+    """Verified alignments for candidate pairs (parallel arrays)."""
+    pairs: np.ndarray      # int32[m, 2]
+    score: np.ndarray      # int32[m]
+    identity: np.ndarray   # float32[m]  matches / aln_len
+    qcov: np.ndarray       # float32[m]  aligned query span / query length
+    tcov: np.ndarray       # float32[m]
+    matches: np.ndarray    # int32[m]
+    aln_len: np.ndarray    # int32[m]
+
+
+def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
+                 gap_open: int = 5, gap_extend: int = 2, batch: int = 256,
+                 match: int = 2, mismatch: int = -3) -> PairHits:
+    """Align every candidate pair with banded SW (stats mode) on device.
+
+    Pairs are bucketed by max member length so each bucket compiles once;
+    within a bucket, query is always the shorter gene (canonical orientation
+    for symmetric scores).
+    """
+    m = len(pairs)
+    out_score = np.zeros(m, np.int32)
+    out_match = np.zeros(m, np.int32)
+    out_alen = np.zeros(m, np.int32)
+    out_qspan = np.zeros(m, np.int32)
+    out_tspan = np.zeros(m, np.int32)
+    qlen = np.zeros(m, np.int64)
+    tlen = np.zeros(m, np.int64)
+    if m:
+        la = store.length[pairs[:, 0]]
+        lb = store.length[pairs[:, 1]]
+        qidx = np.where(la <= lb, pairs[:, 0], pairs[:, 1])
+        tidx = np.where(la <= lb, pairs[:, 1], pairs[:, 0])
+        qlen = store.length[qidx].astype(np.int64)
+        tlen = store.length[tidx].astype(np.int64)
+        buckets = make_length_buckets(int(tlen.max()))
+        tb = np.searchsorted(buckets, tlen, side="left")
+        order = np.lexsort((np.arange(m), tb))
+        scorer = sw.dna_scorer(match, mismatch)
+        i = 0
+        while i < m:
+            j = min(i + batch, m)
+            # keep one bucket per launch
+            j = i + int(np.searchsorted(tb[order[i:j]], tb[order[i]],
+                                        side="right"))
+            sel = order[i:j]
+            width = int(buckets[tb[sel[0]]])
+            wq = max(int(buckets[np.searchsorted(
+                buckets, int(qlen[sel].max()), side="left")]), band)
+            qd = pad_to_dense(store, qidx[sel], wq)
+            td = pad_to_dense(store, tidx[sel], width)
+            res = sw.sw_banded(qd, td, scorer=scorer, gap_open=gap_open,
+                               gap_extend=gap_extend, band=band,
+                               with_stats=True)
+            out_score[sel] = np.asarray(res["score"])
+            out_match[sel] = np.asarray(res["matches"])
+            out_alen[sel] = np.asarray(res["aln_len"])
+            out_qspan[sel] = np.asarray(res["qend"]) - np.asarray(res["qstart"]) + 1
+            out_tspan[sel] = np.asarray(res["tend"]) - np.asarray(res["tstart"]) + 1
+            i = j
+    alen = np.maximum(out_alen, 1)
+    return PairHits(
+        pairs=np.asarray(pairs, np.int32),
+        score=out_score,
+        identity=(out_match / alen).astype(np.float32),
+        qcov=(out_qspan / np.maximum(qlen, 1)).astype(np.float32),
+        tcov=(out_tspan / np.maximum(tlen, 1)).astype(np.float32),
+        matches=out_match,
+        aln_len=out_alen,
+    )

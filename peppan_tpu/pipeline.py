@@ -1,0 +1,121 @@
+"""Phase-sequenced pan-genome pipeline (PEPPA.py::main equivalent).
+
+Phase layout mirrors the reference call stack (SURVEY.md §3.1; reference
+mount empty at build time):
+  1. readGFF            -> io.gff.load_genomes (host parse -> token arrays)
+  2. gene pool          -> folded into phase 1 (GeneStore is the pool)
+  3. getClust           -> cluster.linclust.cluster_genes (device SW verify)
+  4. get_similar_pairs  -> exemplar self-similarity graph (device SW)
+  5. iter_map_bsn       -> genome mapping (matrix engine; later milestone)
+  6. filt_per_group     -> tree-aware paralog splitting (cluster.split)
+  7. filt_genes         -> greedy ortholog assignment (assign.greedy)
+  8. write_output       -> io.writers
+
+Milestone M1 (SURVEY.md §7.2) runs 1-4 + a cluster-membership assignment +
+8; later milestones swap in the full 5-7 semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+
+import numpy as np
+
+from .cluster import linclust
+from .cluster.unionfind import connected_components
+from .config import PipelineConfig
+from .io import gff, writers
+from .io.tokens import GeneStore, GenomeStore
+from .ops import pairs as prs
+
+log = logging.getLogger("peppan_tpu")
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    genome_store: GenomeStore
+    gene_store: GeneStore
+    clusters: linclust.ClusterResult
+    group_of_gene: np.ndarray     # int64[n_genes], -1 = unassigned
+    group_names: list
+    outputs: dict                 # name -> path
+    phase_seconds: dict
+
+
+def _similarity_groups(store: GeneStore, clusters: linclust.ClusterResult,
+                       cfg: PipelineConfig) -> np.ndarray:
+    """Phase 4: connect exemplars whose alignment passes the match
+    thresholds; returns component root per gene (via its exemplar)."""
+    ex_ids = clusters.exemplar_ids
+    sub = store.subset(ex_ids)
+    table = prs.build_minimizer_table(sub, k=cfg.kmer, w=cfg.window)
+    cand, _, _ = prs.candidate_pairs(table, max_group=cfg.max_minimizer_group)
+    hits = prs.verify_pairs(sub, cand, band=cfg.band, batch=cfg.sw_batch,
+                            gap_open=cfg.gap_open, gap_extend=cfg.gap_extend)
+    keep = ((hits.identity >= cfg.match_identity)
+            & (np.maximum(hits.qcov, hits.tcov) >= cfg.match_prop))
+    # map subset indices back to gene ids
+    edges = ex_ids[hits.pairs[keep]]
+    comp = connected_components(store.n_genes, edges)
+    return comp[clusters.exemplar]
+
+
+def run(paths: list, cfg: PipelineConfig = PipelineConfig(),
+        out_dir: str = ".") -> PipelineResult:
+    phase_seconds: dict = {}
+
+    def tick(name, t0):
+        phase_seconds[name] = time.time() - t0
+        log.info("phase %-14s %6.2fs", name, phase_seconds[name])
+
+    t0 = time.time()
+    genome_store, gene_store = gff.load_genomes(
+        paths, min_cds=cfg.min_cds, incomplete_cds=cfg.incomplete_cds,
+        gtable=cfg.gtable)
+    tick("read_gff", t0)
+    log.info("genomes=%d contigs=%d genes=%d", genome_store.n_genomes,
+             genome_store.n_contigs, gene_store.n_genes)
+
+    t0 = time.time()
+    clusters = linclust.cluster_genes(
+        gene_store, identity=cfg.clust_identity,
+        coverage=cfg.clust_match_prop, k=cfg.kmer, w=cfg.window,
+        band=cfg.band, max_group=cfg.max_minimizer_group, batch=cfg.sw_batch)
+    tick("cluster", t0)
+    log.info("clusters=%d", clusters.n_clusters)
+
+    t0 = time.time()
+    group_root = _similarity_groups(gene_store, clusters, cfg)
+    tick("similar_pairs", t0)
+
+    # groups: indexed densely in root order; named after the root gene
+    roots = np.unique(group_root)
+    root_to_group = {int(r): i for i, r in enumerate(roots)}
+    group_of_gene = np.array([root_to_group[int(r)] for r in group_root],
+                             dtype=np.int64)
+    group_names = [gene_store.names[int(r)] for r in roots]
+    log.info("groups=%d", len(roots))
+
+    t0 = time.time()
+    os.makedirs(out_dir, exist_ok=True)
+    pre = os.path.join(out_dir, cfg.prefix)
+    outputs = {
+        "gff": pre + ".PEPPAN.gff",
+        "alleles": pre + ".allele.fna",
+        "rtab": pre + ".gene_content.Rtab",
+        "csv": pre + ".gene_content.csv",
+    }
+    writers.write_pan_gff(outputs["gff"], genome_store, gene_store,
+                          group_of_gene, group_names)
+    writers.write_alleles(outputs["alleles"], gene_store, group_of_gene,
+                          group_names)
+    mat = writers.presence_matrix(gene_store, group_of_gene, len(roots),
+                                  genome_store.n_genomes)
+    writers.write_gene_content(outputs["rtab"], outputs["csv"], mat,
+                               group_names, genome_store.genome_names)
+    tick("write_output", t0)
+    return PipelineResult(genome_store, gene_store, clusters, group_of_gene,
+                          group_names, outputs, phase_seconds)

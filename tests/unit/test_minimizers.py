@@ -1,0 +1,105 @@
+import numpy as np
+
+from peppan_tpu.io import alphabet as ab
+from peppan_tpu.ops import minimizers as mz
+
+
+def _np_canonical_kmers(seq, k):
+    """Independent numpy oracle for canonical k-mer packing."""
+    out = []
+    for i in range(len(seq) - k + 1):
+        win = seq[i:i + k]
+        if (win >= 4).any():
+            out.append(None)
+            continue
+        fwd = 0
+        rc = 0
+        for j, c in enumerate(win):
+            fwd = (fwd << 2) | int(c)
+            rc = rc | ((3 - int(c)) << (2 * j))
+        out.append(min(fwd, rc))
+    return out
+
+
+def _np_mix(x):
+    x = np.uint32(x)
+    x ^= x >> np.uint32(16)
+    x = np.uint32((int(x) * 0x85EBCA6B) & 0xFFFFFFFF)
+    x ^= x >> np.uint32(13)
+    x = np.uint32((int(x) * 0xC2B2AE35) & 0xFFFFFFFF)
+    x ^= x >> np.uint32(16)
+    return min(int(x), 0xFFFFFFFE)
+
+
+def test_kmer_hashes_match_numpy_oracle(rng):
+    k = 7
+    seq = rng.integers(0, 4, size=40).astype(np.int8)
+    seq[10] = ab.DNA_N  # invalidates k-mers overlapping position 10
+    h, _ = mz.kmer_hashes(seq[None, :], k)
+    h = np.asarray(h)[0]
+    expect = _np_canonical_kmers(seq, k)
+    for i, e in enumerate(expect):
+        if e is None:
+            assert h[i] == mz.INVALID_HASH, i
+        else:
+            assert h[i] == _np_mix(e), i
+    # tail positions past L-k are invalid
+    assert (h[len(seq) - k + 1:] == mz.INVALID_HASH).all()
+
+
+def test_revcomp_invariance(rng):
+    """Canonical hashing: a sequence and its reverse complement share the
+    same minimizer hash multiset (the basis for strand-agnostic seeding)."""
+    seq = rng.integers(0, 4, size=60).astype(np.int8)
+    rc = ab.revcomp(seq)
+    h1, _ = mz.kmer_hashes(seq[None, :], 9)
+    h2, _ = mz.kmer_hashes(rc[None, :], 9)
+    v1 = np.sort(np.asarray(h1)[0][np.asarray(h1)[0] != mz.INVALID_HASH])
+    v2 = np.sort(np.asarray(h2)[0][np.asarray(h2)[0] != mz.INVALID_HASH])
+    assert np.array_equal(v1, v2)
+
+
+def test_minimizer_flags_basic(rng):
+    k, w = 5, 4
+    seq = rng.integers(0, 4, size=50).astype(np.int8)
+    h, _ = mz.kmer_hashes(seq[None, :], k)
+    f = np.asarray(mz.minimizer_flags(h, w))[0]
+    h = np.asarray(h)[0]
+    L = len(seq)
+    # oracle: leftmost argmin of each complete window
+    expect = np.zeros(L, dtype=bool)
+    for s in range(L - w + 1):
+        win = h[s:s + w]
+        if (win == mz.INVALID_HASH).all():
+            continue
+        expect[s + int(np.argmin(win))] = True
+    assert np.array_equal(f, expect)
+
+
+def test_minimizer_density(rng):
+    # expected density of w-window minimizers is ~2/(w+1)
+    seq = rng.integers(0, 4, size=4000).astype(np.int8)
+    h, _ = mz.kmer_hashes(seq[None, :], 13)
+    f = np.asarray(mz.minimizer_flags(h, 8))[0]
+    density = f.sum() / len(seq)
+    assert 0.15 < density < 0.30
+
+
+def test_shared_minimizers_of_mutated_copy(rng):
+    from peppan_tpu.io.tokens import GeneStore
+    from peppan_tpu.ops import pairs as prs
+
+    base = rng.integers(0, 4, size=600).astype(np.int8)
+    mut = base.copy()
+    mpos = rng.random(600) < 0.03
+    mut[mpos] = (mut[mpos] + 1) % 4
+    unrelated = rng.integers(0, 4, size=600).astype(np.int8)
+    store = GeneStore.from_sequences([base, mut, unrelated])
+    table = prs.build_minimizer_table(store, k=13, w=8)
+    p, shared, diag = prs.candidate_pairs(table)
+    pset = {tuple(x) for x in p}
+    assert (0, 1) in pset
+    assert (0, 2) not in pset and (1, 2) not in pset
+    i = [tuple(x) for x in p].index((0, 1))
+    assert shared[i] >= 5
+    assert diag[i] == 0
