@@ -50,15 +50,21 @@ def kmer_hashes(tokens: jax.Array, k: int = 15) -> tuple:
     bad = (t >= 4)
     tc = (3 - t) % 4  # complement (garbage where bad; masked below)
 
+    def lshift(a, j, fill):
+        # a[:, j:] padded at the end — static slice, cheap to compile on TPU
+        # (jnp.roll lowers poorly on the mosaic backend)
+        if j == 0:
+            return a
+        return jnp.concatenate(
+            [a[:, j:], jnp.full((P, j), fill, a.dtype)], axis=1)
+
     fwd = jnp.zeros((P, L), jnp.uint32)
     rc = jnp.zeros((P, L), jnp.uint32)
     anybad = jnp.zeros((P, L), dtype=bool)
     for j in range(k):
-        tj = jnp.roll(t, -j, axis=1)
-        cj = jnp.roll(tc, -j, axis=1)
-        fwd = fwd | (tj << np.uint32(2 * (k - 1 - j)))
-        rc = rc | (cj << np.uint32(2 * j))
-        anybad = anybad | jnp.roll(bad, -j, axis=1)
+        fwd = fwd | (lshift(t, j, 0) << np.uint32(2 * (k - 1 - j)))
+        rc = rc | (lshift(tc, j, 0) << np.uint32(2 * j))
+        anybad = anybad | lshift(bad, j, True)
     pos = jax.lax.broadcasted_iota(jnp.int32, (P, L), 1)
     invalid = anybad | (pos > L - k)
     strand = fwd <= rc
@@ -78,24 +84,31 @@ def minimizer_flags(hashes: jax.Array, w: int = 10) -> jax.Array:
     Deterministic by construction (SURVEY.md §4.2.3).
     """
     P, L = hashes.shape
-    # stack the w shifted views: win[j][:, s] = h[s + j]
+
+    def lshift(a, j, fill):
+        if j == 0:
+            return a
+        return jnp.concatenate(
+            [a[:, j:], jnp.full((P, j), fill, a.dtype)], axis=1)
+
+    def rshift(a, j, fill):
+        if j == 0:
+            return a
+        return jnp.concatenate(
+            [jnp.full((P, j), fill, a.dtype), a[:, :-j]], axis=1)
+
+    # stacked shifted views: shifted[j][:, s] = h[s + j] (INVALID off-end)
     shifted = jnp.stack(
-        [jnp.roll(hashes, -j, axis=1) for j in range(w)], axis=0)
-    # positions s > L - w have windows running off the row; rolled-in values
-    # come from the row start — mask them to INVALID so they never win
+        [lshift(hashes, j, INVALID_HASH) for j in range(w)], axis=0)
     pos = jax.lax.broadcasted_iota(jnp.int32, (P, L), 1)
-    for j in range(w):
-        shifted = shifted.at[j].set(
-            jnp.where(pos + j < L, shifted[j], INVALID_HASH))
     wmin = jnp.min(shifted, axis=0)                      # [P, L] per start s
     off = jnp.argmin(shifted, axis=0).astype(jnp.int32)  # leftmost min
     valid_win = (wmin != INVALID_HASH) & (pos <= L - w)
-    # scatter: flag position s + off[s] for each valid window start s
-    tgt = jnp.clip(pos + off, 0, L - 1)
+    # scatter-free: p is flagged iff some window starting at s = p - j picked
+    # offset j; express as w shifted compares (TPU-friendly, no scatter)
     flags = jnp.zeros((P, L), dtype=bool)
-    flags = flags.at[
-        jax.lax.broadcasted_iota(jnp.int32, (P, L), 0), tgt
-    ].max(valid_win)
+    for j in range(w):
+        flags = flags | rshift((off == j) & valid_win, j, False)
     return flags
 
 

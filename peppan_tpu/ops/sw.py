@@ -239,10 +239,14 @@ def sw_banded(q: jax.Array, t: jax.Array, *, scorer: Callable,
             carry = (Hn, H1, En, Fn, newbest)
         return carry, None
 
-    zeros = jnp.zeros((P, B), jnp.int32)
-    negs = jnp.full((P, B), NEG, jnp.int32)
-    pz = jnp.zeros((P,), jnp.int32)
-    pm1 = jnp.full((P,), -1, jnp.int32)
+    # derive the init carry from the input so it inherits the input's
+    # device-varying type under shard_map (a plain jnp.zeros would be
+    # "unvarying" and trip scan's carry type check)
+    zrow = qi[:, :1] * 0 + trev[:, :1] * 0  # varies over every axis q or t does
+    zeros = jnp.broadcast_to(zrow, (P, B)).astype(jnp.int32)
+    negs = zeros + NEG
+    pz = zrow[:, 0]
+    pm1 = pz - 1
     if with_stats:
         s4 = (zeros, zeros, zeros, zeros)
         init = (zeros, zeros, negs, negs, s4, s4, s4, s4,

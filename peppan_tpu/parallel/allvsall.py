@@ -1,0 +1,113 @@
+"""Sharded all-vs-all similarity tile engine.
+
+The flagship multi-chip component (BASELINE.json north star): the
+genes-vs-genes (and genes-vs-genomes) similarity matrix materializes as
+(data-batch x db-shard) tiles over the ('data', 'db') mesh.  Each device
+aligns its resident query batch against its resident DB rows with the
+banded-SW wavefront; per-query best hits merge across the 'db' axis with
+XLA collectives.  This subsumes PEPPAN's uberBlast fan-out
+(PEPPA.py::get_similar_pairs / ::iter_map_bsn — reference mount empty;
+pipeline position per SURVEY.md §3.1 phases 4-5).
+
+Two operating modes:
+  dense_tile_scores : every query against every DB row — used by the
+      benchmark ladder and small problems (score-only, MXU-free VPU work).
+  align_pairs       : sparse candidate pair list (from the minimizer join),
+      sharded over the flattened device axis; token stores replicated,
+      row gathers local.  The production path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import sw
+
+
+def _cross_pairs(qb: jax.Array, tb: jax.Array) -> tuple:
+    """[bq, Wq], [bt, Wt] -> row-major cross product ([bq*bt, Wq], [bq*bt, Wt])."""
+    bq, wq = qb.shape
+    bt, wt = tb.shape
+    qq = jnp.broadcast_to(qb[:, None, :], (bq, bt, wq)).reshape(bq * bt, wq)
+    tt = jnp.broadcast_to(tb[None, :, :], (bq, bt, wt)).reshape(bq * bt, wt)
+    return qq, tt
+
+
+def dense_tile_fn(qb: jax.Array, tb: jax.Array, *, band: int,
+                  gap_open: int, gap_extend: int) -> jax.Array:
+    """Local tile: score every query row against every target row."""
+    bq, bt = qb.shape[0], tb.shape[0]
+    qq, tt = _cross_pairs(qb, tb)
+    res = sw.sw_banded(qq, tt, scorer=sw.dna_scorer(), gap_open=gap_open,
+                       gap_extend=gap_extend, band=band, with_stats=False)
+    return res["score"].reshape(bq, bt)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "band", "gap_open",
+                                             "gap_extend"))
+def dense_tile_scores(q: jax.Array, t: jax.Array, *, mesh: Mesh,
+                      band: int = 128, gap_open: int = 5,
+                      gap_extend: int = 2) -> dict:
+    """Sharded all-vs-all scores + per-query best hit.
+
+    q: int8[Nq, Wq] sharded P('data', None);  t: int8[Nt, Wt] sharded
+    P('db', None).  Returns scores int32[Nq, Nt] (sharded both ways) and the
+    per-query best score/DB index (replicated over 'db').
+    """
+    fn = jax.shard_map(
+        functools.partial(dense_tile_fn, band=band, gap_open=gap_open,
+                          gap_extend=gap_extend),
+        mesh=mesh,
+        in_specs=(P("data", None), P("db", None)),
+        out_specs=P("data", "db"),
+    )
+    scores = fn(q, t)
+    best = jnp.max(scores, axis=1)
+    best_idx = jnp.argmax(scores, axis=1).astype(jnp.int32)
+    return {"scores": scores, "best": best, "best_idx": best_idx}
+
+
+class PairAligner:
+    """Replicated-store sparse pair alignment over the whole mesh.
+
+    The dense padded token store (one bucket width) is uploaded once,
+    replicated; candidate pair index lists are sharded over the flattened
+    device axis; each device gathers its rows locally and runs the wavefront.
+    """
+
+    def __init__(self, mesh: Mesh, tokens: np.ndarray, *, band: int = 128,
+                 gap_open: int = 5, gap_extend: int = 2,
+                 with_stats: bool = True):
+        self.mesh = mesh
+        self.band = band
+        self.n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        rep = NamedSharding(mesh, P())
+        self.tokens = jax.device_put(jnp.asarray(tokens), rep)
+        flat = P(("data", "db"))
+        self._sharding = NamedSharding(mesh, flat)
+
+        @functools.partial(jax.jit,
+                           static_argnames=())
+        def _align(tokens, qidx, tidx):
+            qd = jnp.take(tokens, qidx, axis=0)
+            td = jnp.take(tokens, tidx, axis=0)
+            return sw.sw_banded(qd, td, scorer=sw.dna_scorer(),
+                                gap_open=gap_open, gap_extend=gap_extend,
+                                band=band, with_stats=with_stats)
+
+        self._align = _align
+
+    def __call__(self, qidx: np.ndarray, tidx: np.ndarray) -> dict:
+        m = len(qidx)
+        pad = (-m) % self.n_dev
+        qi = np.concatenate([qidx, np.zeros(pad, qidx.dtype)])
+        ti = np.concatenate([tidx, np.zeros(pad, tidx.dtype)])
+        qi = jax.device_put(jnp.asarray(qi), self._sharding)
+        ti = jax.device_put(jnp.asarray(ti), self._sharding)
+        res = self._align(self.tokens, qi, ti)
+        return {k: np.asarray(v)[:m] for k, v in res.items()}
