@@ -50,21 +50,17 @@ class SwHit:
         return self.matches / self.aln_len if self.aln_len else 0.0
 
 
-def band_i0(d: int, m_pad: int, band: int, c0: int) -> int:
-    return int(np.clip((d - c0) // 2 - band // 2, 0, max(0, m_pad - band)))
+def band_i0(d: int, band: int, c0: int) -> int:
+    """Canonical band rule (must match ops.sw): rows [i0, i0+band) on
+    anti-diagonal d, unclipped — covers offsets j-i in (c0-band, c0+band]."""
+    return (d - c0) // 2 - band // 2
 
 
 def sw_banded_ref(q: np.ndarray, t: np.ndarray, submat: np.ndarray,
                   gap_open: int, gap_extend: int, band: int = 1 << 30,
-                  c0: int = 0, m_pad: int | None = None) -> SwHit:
-    """Reference banded local alignment. O(m*n) python loops — tests only.
-
-    m_pad: the padded query width the device kernel sees — the band clip
-    uses it, so pass the kernel's padded width for bit-equality tests.
-    """
+                  c0: int = 0) -> SwHit:
+    """Reference banded local alignment. O(m*n) python loops — tests only."""
     m, n = len(q), len(t)
-    if m_pad is None:
-        m_pad = max(m, band)
     H = np.zeros((m + 1, n + 1), dtype=np.int64)
     E = np.full((m + 1, n + 1), NEG, dtype=np.int64)
     F = np.full((m + 1, n + 1), NEG, dtype=np.int64)
@@ -82,8 +78,8 @@ def sw_banded_ref(q: np.ndarray, t: np.ndarray, submat: np.ndarray,
     hit = SwHit(0, 0, -1, 0, -1, 0, 0)
     first_open = gap_open + gap_extend
     for d in range(m + n - 1):
-        i0 = band_i0(d, m_pad, band, c0)
-        for i1 in range(i0, min(i0 + band, m)):
+        i0 = band_i0(d, band, c0)
+        for i1 in range(max(i0, 0), min(i0 + band, m)):
             j1 = d - i1
             if not (0 <= j1 < n):
                 continue

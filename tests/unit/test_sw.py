@@ -42,8 +42,7 @@ def _run_both(qs, ts, band, width_q, width_t, with_stats=True):
     res = sw.sw_banded(qp, tp, scorer=sw.dna_scorer(), gap_open=GO,
                        gap_extend=GE, band=band, with_stats=with_stats)
     res = {k: np.asarray(v) for k, v in res.items()}
-    hits = [sw_oracle.sw_banded_ref(q, t, DNA_SUB, GO, GE, band=band,
-                                    m_pad=max(width_q, band))
+    hits = [sw_oracle.sw_banded_ref(q, t, DNA_SUB, GO, GE, band=band)
             for q, t in zip(qs, ts)]
     return res, hits
 
@@ -126,8 +125,6 @@ def test_score_only_matches_stats_mode(rng):
     r2, _ = _run_both(qs, ts, band=64, width_q=128, width_t=128,
                       with_stats=False)
     assert np.array_equal(r1["score"], r2["score"])
-    assert np.array_equal(r1["qend"], r2["qend"])
-    assert np.array_equal(r1["tend"], r2["tend"])
 
 
 def test_protein_mode_blosum62(rng):
@@ -150,7 +147,7 @@ def test_protein_mode_blosum62(rng):
     res = sw.sw_banded(qp, tp, scorer=sw.matrix_scorer(b62), gap_open=11,
                        gap_extend=1, band=64, with_stats=True)
     res = {k: np.asarray(v) for k, v in res.items()}
-    hits = [sw_oracle.sw_banded_ref(q, t, b62, 11, 1, band=64, m_pad=wq)
+    hits = [sw_oracle.sw_banded_ref(q, t, b62, 11, 1, band=64)
             for q, t in zip(qs, ts)]
     for i, h in enumerate(hits):
         assert res["score"][i] == h.score
@@ -170,3 +167,26 @@ def test_traceback_consistent_with_banded(rng):
     t_cols = sum(ln for op, ln in cigar if op in "MD")
     assert q_cols == hit.qend - hit.qstart + 1
     assert t_cols == hit.tend - hit.tstart + 1
+
+
+def test_c0_seed_diagonal(rng):
+    # target = 200 junk bases + query: true alignment sits on offset +200,
+    # far outside a 32-lane band at c0=0 but centred by c0=200
+    q = rng.integers(0, 4, size=100).astype(np.int8)
+    t = np.concatenate([rng.integers(0, 4, size=200).astype(np.int8), q])
+    qp = _pad([q], 128)
+    tp = _pad([t], 384)
+    hit_c0 = sw_oracle.sw_banded_ref(q, t, DNA_SUB, GO, GE, band=32, c0=200)
+    res = sw.sw_banded(qp, tp, scorer=sw.dna_scorer(), gap_open=GO,
+                       gap_extend=GE, band=32, c0=200, with_stats=True)
+    assert int(res["score"][0]) == hit_c0.score == 200
+    assert int(res["tstart"][0]) == 200
+    res0 = sw.sw_banded(qp, tp, scorer=sw.dna_scorer(), gap_open=GO,
+                        gap_extend=GE, band=32, c0=0, with_stats=False)
+    assert int(res0["score"][0]) < 200
+
+
+def test_odd_c0_rejected(rng):
+    qp = _pad([rng.integers(0, 4, 50).astype(np.int8)], 64)
+    with pytest.raises(ValueError):
+        sw.sw_banded(qp, qp, scorer=sw.dna_scorer(), band=32, c0=3)
