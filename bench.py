@@ -26,6 +26,8 @@ CPU_BASELINE_GCUPS = 25.0
 
 
 def main() -> None:
+    from peppan_tpu.utils import jaxinit
+    jaxinit.setup_cache()
     import jax
 
     from peppan_tpu.ops import sw

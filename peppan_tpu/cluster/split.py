@@ -1,0 +1,218 @@
+"""Tree-aware paralog splitting — PEPPA.py::filt_per_group equivalent.
+
+PEPPAN phase 6 (reference mount empty at build time; semantics per
+SURVEY.md §2.1 "Gene-tree paralog splitter" and §3.1): similarity clusters
+that actually contain paralogs — detectable because some genome contributes
+two or more members — are split by building a per-group NJ gene tree and
+cutting branches whose inter-clade divergence exceeds the genome-wide
+expectation ("global_difference" test, tolerance ``--allowed_sigma``).
+
+TPU-native re-expression:
+  - member pairwise distances = 1 - identity from the banded-SW stats pass
+    (device, batched over all member pairs of all flagged groups at once);
+  - gene trees from cluster.nj.nj_batched (device, vmapped);
+  - the divergence test and the actual cutting are tiny host-side loops
+    over parent-pointer arrays (the ete3 replacement).
+
+Divergence expectation: for each genome pair (a, b), the median member
+distance over single-copy groups shared by a and b; the spread sigma is the
+global MAD of those medians.  An internal edge is cut when the mean
+cross-clade distance exceeds expectation + allowed_sigma * sigma.
+(Exact reference formula TO-VERIFY once the mount is populated.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..io.tokens import GeneStore
+from ..ops import pairs as prs
+from . import nj
+
+
+@dataclasses.dataclass
+class DivergenceModel:
+    expect: np.ndarray   # float32[G, G] expected inter-genome distance
+    sigma: float         # global spread
+
+    def expected(self, ga: np.ndarray, gb: np.ndarray) -> np.ndarray:
+        return self.expect[ga, gb]
+
+
+def _group_members(group_of_gene: np.ndarray) -> dict:
+    members: dict = {}
+    for g, grp in enumerate(group_of_gene):
+        if grp >= 0:
+            members.setdefault(int(grp), []).append(g)
+    return members
+
+
+def estimate_divergence(store: GeneStore, group_of_gene: np.ndarray,
+                        hits: prs.PairHits, n_genomes: int) -> DivergenceModel:
+    """Expected inter-genome gene distance from single-copy groups.
+
+    Uses already-verified pair hits (phase 4 edges): for every hit whose two
+    genes are in the same single-copy group and different genomes, record
+    1 - identity for that genome pair; expectation = per-pair median.
+    """
+    members = _group_members(group_of_gene)
+    single_copy = set()
+    for grp, mem in members.items():
+        gen = store.genome[mem]
+        if len(np.unique(gen)) == len(gen):
+            single_copy.add(grp)
+    buckets: dict = {}
+    for k in range(len(hits.score)):
+        a, b = hits.pairs[k]
+        if group_of_gene[a] != group_of_gene[b]:
+            continue
+        if int(group_of_gene[a]) not in single_copy:
+            continue
+        ga, gb = int(store.genome[a]), int(store.genome[b])
+        if ga == gb:
+            continue
+        d = 1.0 - float(hits.identity[k])
+        buckets.setdefault((min(ga, gb), max(ga, gb)), []).append(d)
+    expect = np.zeros((n_genomes, n_genomes), np.float32)
+    meds, residuals = [], []
+    for (ga, gb), ds in buckets.items():
+        m = float(np.median(ds))
+        expect[ga, gb] = expect[gb, ga] = m
+        meds.append(m)
+        residuals.extend(d - m for d in ds)
+    overall = float(np.median(meds)) if meds else 0.05
+    expect[expect == 0] = overall
+    np.fill_diagonal(expect, 0.0)
+    # sigma = robust spread of individual gene distances around their genome
+    # pair's expectation (how much single-gene divergence naturally wobbles)
+    if residuals:
+        sigma = float(np.median(np.abs(residuals))) * 1.4826
+        sigma = max(sigma, 0.01)
+    else:
+        sigma = 0.02
+    return DivergenceModel(expect=expect, sigma=sigma)
+
+
+def split_groups(store: GeneStore, group_of_gene: np.ndarray,
+                 div: DivergenceModel, *, allowed_sigma: float = 3.0,
+                 max_members: int = 128, band: int = 128,
+                 batch: int = 1024) -> np.ndarray:
+    """Split paralog-containing groups; returns new group labels.
+
+    New labels are allocated past the current max so untouched groups keep
+    their ids; subgroup labels are deterministic (ordered by smallest member
+    gene index).
+    """
+    members = _group_members(group_of_gene)
+    flagged = []
+    for grp, mem in sorted(members.items()):
+        gen = store.genome[mem]
+        if len(np.unique(gen)) < len(gen) and 2 < len(mem) <= max_members:
+            flagged.append((grp, mem))
+    if not flagged:
+        return group_of_gene.copy()
+
+    # one big batched SW pass over every member pair of every flagged group
+    pair_rows = []
+    for grp, mem in flagged:
+        n = len(mem)
+        for i in range(n):
+            for j in range(i + 1, n):
+                pair_rows.append((mem[i], mem[j]))
+    pair_arr = np.asarray(pair_rows, np.int32)
+    hits = prs.verify_pairs(store, pair_arr, band=band, batch=batch)
+    dist_of = {}
+    for k in range(len(pair_arr)):
+        a, b = pair_arr[k]
+        # unaligned pairs -> maximal distance
+        d = 1.0 - float(hits.identity[k]) if hits.aln_len[k] > 0 else 1.0
+        dist_of[(int(a), int(b))] = d
+
+    # batched NJ over flagged groups (single n_max bucket)
+    n_max = max(len(mem) for _, mem in flagged)
+    G = len(flagged)
+    dms = np.zeros((G, n_max, n_max), np.float32)
+    ns = np.zeros(G, np.int32)
+    for gi, (grp, mem) in enumerate(flagged):
+        n = len(mem)
+        ns[gi] = n
+        for i in range(n):
+            for j in range(i + 1, n):
+                key = (min(mem[i], mem[j]), max(mem[i], mem[j]))
+                dms[gi, i, j] = dms[gi, j, i] = dist_of[key]
+    trees = nj.nj_batched(jnp.asarray(dms), jnp.asarray(ns), n_max=n_max)
+
+    out = group_of_gene.copy()
+    next_label = int(group_of_gene.max()) + 1
+    for gi, (grp, mem) in enumerate(flagged):
+        n = int(ns[gi])
+        cl = np.asarray(trees["child_l"][gi])
+        cr = np.asarray(trees["child_r"][gi])
+        root = int(trees["root"][gi])
+        dm = dms[gi, :n, :n]
+        genomes = store.genome[mem]
+
+        # rooting-free edge test: every tree edge induces a leaf bipartition
+        # (A = clade below, B = rest).  The edge is a duplication boundary
+        # iff even the CLOSEST cross pair is more diverged than the genome
+        # expectation allows (min is robust to substructure on either side;
+        # a mean would be inflated by distant sub-clades).  NJ's arbitrary
+        # root placement cannot affect bipartitions of the unrooted tree.
+        parent_arr = np.asarray(trees["parent"][gi])
+
+        def edge_cut(A, Bv):
+            cross = dm[np.ix_(A, Bv)]
+            if cross.size >= 25:
+                stat = float(np.quantile(cross, 0.1))
+            else:
+                stat = float(cross.min())
+            exp = float(np.mean(div.expected(
+                genomes[A][:, None], genomes[Bv][None, :])))
+            return stat > exp + allowed_sigma * div.sigma
+
+        all_leaves = list(range(n))
+        uf_parent = list(range(2 * n - 1))
+
+        def find(a):
+            while uf_parent[a] != a:
+                uf_parent[a] = uf_parent[uf_parent[a]]
+                a = uf_parent[a]
+            return a
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                uf_parent[max(ra, rb)] = min(ra, rb)
+
+        # the root's two child edges are one unrooted edge: test once
+        A = nj.leaves_under(cl, cr, int(cl[root]), n)
+        Bv = sorted(set(all_leaves) - set(A))
+        if not (A and Bv and edge_cut(A, Bv)):
+            union(int(cl[root]), root)
+            union(int(cr[root]), root)
+        for x in range(2 * n - 2):         # every non-root node's up-edge
+            if parent_arr[x] < 0 or parent_arr[x] == root:
+                continue
+            A = nj.leaves_under(cl, cr, x, n)
+            Bv = sorted(set(all_leaves) - set(A))
+            if not (A and Bv and edge_cut(A, Bv)):
+                union(x, int(parent_arr[x]))
+        comp = np.array([find(lf) for lf in range(n)], np.int64)
+        # only actually split if >1 component materialized
+        if len(np.unique(comp)) <= 1:
+            continue
+        # deterministic relabel: component containing the smallest gene id
+        # keeps the original label; others get fresh labels in order
+        order = {}
+        for leaf in np.argsort(np.asarray(mem)):
+            c = comp[leaf]
+            if c not in order:
+                order[c] = len(order)
+        for leaf, gidx in enumerate(mem):
+            c = order[comp[leaf]]
+            out[gidx] = grp if c == 0 else next_label + c - 1
+        next_label += len(order) - 1
+    return out

@@ -32,6 +32,16 @@ class MinimizerTable:
     pos: np.ndarray    # int32[n]
 
 
+def _pad_rows(n: int, batch: int) -> int:
+    """Fixed launch sizes (powers of two up to `batch`) so pair/gene counts
+    never trigger fresh kernel compiles (shape churn was the dominant cost
+    on the TPU backend)."""
+    p = 32
+    while p < min(n, batch):
+        p *= 2
+    return p
+
+
 def build_minimizer_table(store: GeneStore, k: int = 13, w: int = 8,
                           batch: int = 512) -> MinimizerTable:
     """Sketch every gene (device, padded batches) -> host occurrence table."""
@@ -48,8 +58,12 @@ def build_minimizer_table(store: GeneStore, k: int = 13, w: int = 8,
         idx = order[i:j]
         width = int(buckets[np.searchsorted(
             buckets, int(store.length[idx].max()), side="left")])
-        dense = pad_to_dense(store, idx, width)
+        rows_padded = _pad_rows(j - i, batch)
+        dense = np.full((rows_padded, width), alphabet.DNA_PAD, np.int8)
+        dense[:j - i] = pad_to_dense(store, idx, width)
         h, _, f = minimizers.sketch_batch(dense, k, w)
+        f = f.copy()
+        f[j - i:] = False
         rows, cols = np.nonzero(f)
         hs.append(h[rows, cols])
         gs.append(idx[rows].astype(np.int32))
@@ -170,11 +184,15 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
             width = int(buckets[tb[sel[0]]])
             wq = max(int(buckets[np.searchsorted(
                 buckets, int(qlen[sel].max()), side="left")]), band)
-            qd = pad_to_dense(store, qidx[sel], wq)
-            td = pad_to_dense(store, tidx[sel], width)
+            rows_padded = _pad_rows(len(sel), batch)
+            qd = np.full((rows_padded, wq), alphabet.DNA_PAD, np.int8)
+            td = np.full((rows_padded, width), alphabet.DNA_PAD, np.int8)
+            qd[:len(sel)] = pad_to_dense(store, qidx[sel], wq)
+            td[:len(sel)] = pad_to_dense(store, tidx[sel], width)
             res = sw.sw_banded(qd, td, scorer=scorer, gap_open=gap_open,
                                gap_extend=gap_extend, band=band,
                                with_stats=True)
+            res = {k2: np.asarray(v)[:len(sel)] for k2, v in res.items()}
             out_score[sel] = np.asarray(res["score"])
             out_match[sel] = np.asarray(res["matches"])
             out_alen[sel] = np.asarray(res["aln_len"])

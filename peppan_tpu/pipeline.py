@@ -24,7 +24,7 @@ import time
 
 import numpy as np
 
-from .cluster import linclust
+from .cluster import linclust, split
 from .cluster.unionfind import connected_components
 from .config import PipelineConfig
 from .io import gff, writers
@@ -63,8 +63,20 @@ def _similarity_groups(store: GeneStore, clusters: linclust.ClusterResult,
     return comp[clusters.exemplar]
 
 
+def _dense_groups(group_root: np.ndarray, gene_names: list) -> tuple:
+    """Root labels -> dense group indices + names (root gene's name)."""
+    roots = np.unique(group_root)
+    root_to_group = {int(r): i for i, r in enumerate(roots)}
+    group_of_gene = np.array([root_to_group[int(r)] for r in group_root],
+                             dtype=np.int64)
+    group_names = [gene_names[int(r)] for r in roots]
+    return group_of_gene, group_names
+
+
 def run(paths: list, cfg: PipelineConfig = PipelineConfig(),
         out_dir: str = ".") -> PipelineResult:
+    from .utils import jaxinit
+    jaxinit.setup_cache()
     phase_seconds: dict = {}
 
     def tick(name, t0):
@@ -89,15 +101,30 @@ def run(paths: list, cfg: PipelineConfig = PipelineConfig(),
 
     t0 = time.time()
     group_root = _similarity_groups(gene_store, clusters, cfg)
+    group_of_gene, group_names = _dense_groups(group_root, gene_store.names)
     tick("similar_pairs", t0)
+    log.info("groups=%d", len(group_names))
 
-    # groups: indexed densely in root order; named after the root gene
-    roots = np.unique(group_root)
-    root_to_group = {int(r): i for i, r in enumerate(roots)}
-    group_of_gene = np.array([root_to_group[int(r)] for r in group_root],
-                             dtype=np.int64)
-    group_names = [gene_store.names[int(r)] for r in roots]
-    log.info("groups=%d", len(roots))
+    if cfg.paralog_split:
+        t0 = time.time()
+        div = split.estimate_divergence(gene_store, group_of_gene,
+                                        clusters.hits,
+                                        genome_store.n_genomes)
+        new_groups = split.split_groups(
+            gene_store, group_of_gene, div,
+            allowed_sigma=cfg.allowed_sigma, band=cfg.band,
+            batch=cfg.sw_batch)
+        # name fresh subgroup labels after their smallest member gene
+        n_old = len(group_names)
+        for lbl in np.unique(new_groups):
+            if lbl >= n_old:
+                first = int(np.flatnonzero(new_groups == lbl).min())
+                while len(group_names) <= lbl:
+                    group_names.append(None)
+                group_names[int(lbl)] = gene_store.names[first] + "_p"
+        group_of_gene = new_groups
+        tick("paralog_split", t0)
+        log.info("groups_after_split=%d", len(np.unique(group_of_gene)))
 
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
@@ -112,7 +139,7 @@ def run(paths: list, cfg: PipelineConfig = PipelineConfig(),
                           group_of_gene, group_names)
     writers.write_alleles(outputs["alleles"], gene_store, group_of_gene,
                           group_names)
-    mat = writers.presence_matrix(gene_store, group_of_gene, len(roots),
+    mat = writers.presence_matrix(gene_store, group_of_gene, len(group_names),
                                   genome_store.n_genomes)
     writers.write_gene_content(outputs["rtab"], outputs["csv"], mat,
                                group_names, genome_store.genome_names)

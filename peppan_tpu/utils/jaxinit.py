@@ -1,0 +1,33 @@
+"""Process-level JAX setup: persistent compilation cache.
+
+The wavefront kernels compile once per (pair-count, width, band, mode)
+shape; the persistent cache makes those compiles a one-time cost per
+machine instead of per process (matters on the axon TPU backend where a
+cold compile is seconds to minutes).  Called by pipeline.run, bench.py and
+the CLI — never by the test suite (tests stay hermetic).
+"""
+
+from __future__ import annotations
+
+import os
+
+_done = False
+
+
+def setup_cache(path: str | None = None) -> None:
+    global _done
+    if _done:
+        return
+    import jax
+
+    path = path or os.path.join(
+        os.path.expanduser("~"), ".cache", "peppan_tpu_xla")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # the axon TPU backend compiles through a tunnel with high latency
+        # variance — cache every compile, however small
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:  # cache is an optimization; never fail the run
+        pass
+    _done = True

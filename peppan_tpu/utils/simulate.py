@@ -75,6 +75,10 @@ def simulate(n_genomes: int = 4, n_core: int = 20, n_accessory: int = 10,
     n_fam = n_core + n_accessory
     fam_len = np.maximum(60, rng.poisson(mean_gene_codons, size=n_fam))
     ancestors = [_random_cds(rng, int(L)) for L in fam_len]
+    # paralogs descend from a single ancestral duplication: one diverged
+    # copy per family, from which every genome's second copy then evolves
+    par_ancestors = [_mutate(rng, ancestors[fi], paralog_divergence)
+                     for fi in range(min(paralog_families, n_fam))]
     fam_names = [f"FAM_{i:04d}" for i in range(n_fam)]
 
     genome_names, contigs, features = [], [], []
@@ -95,8 +99,8 @@ def simulate(n_genomes: int = 4, n_core: int = 20, n_accessory: int = 10,
             if fi < paralog_families:
                 copies = 2
             for ci in range(copies):
-                div = divergence if ci == 0 else paralog_divergence
-                g = _mutate(rng, ancestors[fi], div)
+                base = ancestors[fi] if ci == 0 else par_ancestors[fi]
+                g = _mutate(rng, base, divergence)
                 strand = 1 if rng.random() < 0.5 else -1
                 gid = f"{gname}_{gene_counter:05d}"
                 gene_counter += 1
