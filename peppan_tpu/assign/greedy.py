@@ -1,0 +1,220 @@
+"""Greedy ortholog assignment — PEPPA.py::filt_genes equivalent (phase 7).
+
+The serial heart of the pipeline (reference mount empty at build time;
+semantics per SURVEY.md §3.3): ortholog groups claim genomic regions in
+score order; regions already claimed by stronger groups are conflicts;
+losers are re-scored and re-queued.  Deterministic by construction:
+  - group ranking: (current score desc, group id asc) via a lazy max-heap;
+  - hit ranking within a group: (score desc, genome, contig, start);
+  - conflict rule: a hit is dropped when its bases overlap an already
+    claimed region by more than `overlap_frac` of the shorter of the two.
+
+Synteny resolution (PEPPAN's synteny_resolver, ``--synteny_gap`` /
+``--synteny_diff``): when a group could claim two near-tied placements in
+one genome (score ratio < synteny_diff), prefer the placement whose
+flanking claimed groups (within synteny_gap) match the group's flanking
+neighbours in other genomes.
+
+Pseudogene / disrupted-gene calling (``--pseudogene``): a claimed region is
+  'CDS'        if exemplar coverage >= pseudogene_frac and no disruption;
+  'pseudogene' otherwise (fragment, frameshifted stitch, or length shift
+               not a multiple of 3 — the traceback-level frameshift call
+               refines this for winners only).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import heapq
+
+import numpy as np
+
+from ..io.tokens import GeneStore, GenomeStore
+from ..ops.genome_map import MapHits
+
+
+@dataclasses.dataclass
+class Regions:
+    """Final assigned pan-genome regions (parallel arrays)."""
+    group: np.ndarray      # int64[m]
+    exemplar: np.ndarray   # int32[m]
+    genome: np.ndarray     # int32[m]
+    contig: np.ndarray     # int32[m]
+    start: np.ndarray      # int64[m] 0-based inclusive
+    end: np.ndarray        # int64[m]
+    strand: np.ndarray     # int8[m]
+    score: np.ndarray      # int32[m]
+    identity: np.ndarray   # float32[m]
+    status: np.ndarray     # object[m]: 'CDS' | 'pseudogene'
+    gene_idx: np.ndarray   # int64[m] matching annotated gene or -1
+
+    def __len__(self):
+        return len(self.group)
+
+
+def _overlap(a0, a1, b0, b1) -> int:
+    return max(0, min(a1, b1) - max(a0, b0) + 1)
+
+
+def greedy_assign(hits: MapHits, group_of_exemplar: dict, genes: GeneStore,
+                  genomes: GenomeStore, *, overlap_frac: float = 0.15,
+                  pseudogene_frac: float = 0.8, synteny_gap: int = 300,
+                  synteny_diff: float = 1.2, neighbor_check: bool = True,
+                  locus_dominance: float = 0.65,
+                  exemplar_len: dict | None = None) -> Regions:
+    m = len(hits)
+    hit_group = np.asarray([group_of_exemplar[int(e)] for e in hits.exemplar],
+                           np.int64)
+
+    # locus dominance pre-filter (uberBlast HSP-merge equivalent,
+    # SURVEY.md §3.2): where hits of DIFFERENT groups overlap the same
+    # locus, a hit decisively outscored by the best one there is noise
+    # (e.g. an ortholog exemplar brushing a paralog's locus) and is
+    # removed before group ranking; near-ties survive for the greedy +
+    # synteny stage to arbitrate.
+    dominated = np.zeros(m, dtype=bool)
+    order0 = np.lexsort((hits.start, hits.contig))
+    active: list = []
+    for i in map(int, order0):
+        s, e = int(hits.start[i]), int(hits.end[i])
+        active = [j for j in active
+                  if hits.contig[j] == hits.contig[i]
+                  and int(hits.end[j]) >= s]
+        for j in active:
+            ov = _overlap(s, e, int(hits.start[j]), int(hits.end[j]))
+            li = e - s + 1
+            lj = int(hits.end[j]) - int(hits.start[j]) + 1
+            if (ov > overlap_frac * min(li, lj)
+                    and hit_group[i] != hit_group[j]):
+                if hits.score[i] < locus_dominance * hits.score[j]:
+                    dominated[i] = True
+                elif hits.score[j] < locus_dominance * hits.score[i]:
+                    dominated[j] = True
+        active.append(i)
+
+    groups = np.unique(hit_group[~dominated])
+
+    hits_of_group: dict = {int(g): [] for g in groups}
+    for i in range(m):
+        if not dominated[i]:
+            hits_of_group[int(hit_group[i])].append(i)
+    # deterministic within-group order: best first
+    for g, lst in hits_of_group.items():
+        lst.sort(key=lambda i: (-int(hits.score[i]), int(hits.genome[i]),
+                                int(hits.contig[i]), int(hits.start[i])))
+
+    claimed: dict = {}          # contig -> list of (start, end, group)
+    taken = np.zeros(m, dtype=bool)
+    dropped = np.zeros(m, dtype=bool)
+
+    def viable(i) -> bool:
+        if taken[i] or dropped[i]:
+            return False
+        s, e = int(hits.start[i]), int(hits.end[i])
+        ln = e - s + 1
+        for (cs, ce, _cg) in claimed.get(int(hits.contig[i]), []):
+            ov = _overlap(s, e, cs, ce)
+            if ov > overlap_frac * min(ln, ce - cs + 1):
+                return False
+        return True
+
+    def group_score(g) -> int:
+        return sum(int(hits.score[i]) for i in hits_of_group[g]
+                   if not dropped[i] and viable(i))
+
+    def neighbors_of(i) -> set:
+        """Groups claimed within synteny_gap of hit i on its contig."""
+        s, e = int(hits.start[i]), int(hits.end[i])
+        out = set()
+        for (cs, ce, cg) in claimed.get(int(hits.contig[i]), []):
+            if cs - synteny_gap <= e and ce + synteny_gap >= s:
+                out.add(int(cg))
+        return out
+
+    heap = [(-group_score(int(g)), int(g)) for g in groups]
+    heapq.heapify(heap)
+    claim_order = []
+
+    while heap:
+        negs, g = heapq.heappop(heap)
+        cur = group_score(g)
+        if cur <= 0:
+            continue
+        if heap and -heap[0][0] > cur:
+            heapq.heappush(heap, (-cur, g))
+            continue
+        # claim this group's viable hits; at most one claim round per genome
+        # position (synteny tie-break among near-equal placements per genome)
+        per_genome: dict = {}
+        for i in hits_of_group[g]:
+            if viable(i):
+                per_genome.setdefault(int(hits.genome[i]), []).append(i)
+        # consensus neighbourhood from best hits (for synteny scoring)
+        consensus: dict = {}
+        if neighbor_check:
+            for gm, lst in per_genome.items():
+                nb = neighbors_of(lst[0])
+                for x in nb:
+                    consensus[x] = consensus.get(x, 0) + 1
+        for gm, lst in sorted(per_genome.items()):
+            # near-tied placements: reorder by synteny agreement
+            if neighbor_check and len(lst) > 1:
+                best_sc = int(hits.score[lst[0]])
+                tied = [i for i in lst
+                        if best_sc <= int(hits.score[i]) * synteny_diff]
+                if len(tied) > 1:
+                    tied.sort(key=lambda i: (
+                        -len(neighbors_of(i) & set(consensus)),
+                        -int(hits.score[i]), int(hits.contig[i]),
+                        int(hits.start[i])))
+                    rest = [i for i in lst if i not in tied]
+                    lst = tied + rest
+            for i in lst:
+                if not viable(i):
+                    dropped[i] = True
+                    continue
+                taken[i] = True
+                claimed.setdefault(int(hits.contig[i]), []).append(
+                    (int(hits.start[i]), int(hits.end[i]), g))
+                claim_order.append(i)
+
+    # --- status + annotated-gene matching ---------------------------------
+    idx = np.asarray(claim_order, dtype=np.int64)
+    idx = idx[np.lexsort((hits.start[idx], hits.contig[idx],
+                          hits.genome[idx]))]
+    status = np.empty(len(idx), dtype=object)
+    gene_idx = np.full(len(idx), -1, np.int64)
+
+    # index annotated genes by contig for overlap matching
+    genes_by_contig: dict = {}
+    for gi in range(genes.n_genes):
+        genes_by_contig.setdefault(int(genes.contig[gi]), []).append(gi)
+
+    for row, i in enumerate(idx):
+        exl = int(exemplar_len[int(hits.exemplar[i])]) if exemplar_len \
+            else int(genes.length[int(hits.exemplar[i])])
+        s, e = int(hits.start[i]), int(hits.end[i])
+        ln = e - s + 1
+        disrupted = bool(hits.stitched[i]) or (ln - exl) % 3 != 0
+        intact = (hits.qcov[i] >= pseudogene_frac) and not disrupted
+        status[row] = "CDS" if intact else "pseudogene"
+        best_ov = 0
+        for gi in genes_by_contig.get(int(hits.contig[i]), []):
+            gs, ge = int(genes.start[gi]) - 1, int(genes.end[gi]) - 1
+            ov = _overlap(s, e, gs, ge)
+            if ov > best_ov and ov >= 0.8 * max(ln, ge - gs + 1):
+                best_ov = ov
+                gene_idx[row] = gi
+    return Regions(
+        group=hit_group[idx],
+        exemplar=hits.exemplar[idx],
+        genome=hits.genome[idx],
+        contig=hits.contig[idx],
+        start=hits.start[idx],
+        end=hits.end[idx],
+        strand=hits.strand[idx],
+        score=hits.score[idx],
+        identity=hits.identity[idx],
+        status=status,
+        gene_idx=gene_idx,
+    )

@@ -59,6 +59,48 @@ def write_pan_gff(path: str, genome_store: GenomeStore, gene_store: GeneStore,
                      f"{gene_store.end[idx]}\t.\t{strand}\t0\t{attrs}\n")
 
 
+def write_region_gff(path: str, genome_store: GenomeStore, regions,
+                     group_names: list, gene_names: list) -> None:
+    """Write the unified pan-genome GFF from assigned regions (phase 7 out).
+
+    Region coords are 0-based inclusive internally -> 1-based GFF.  Rows
+    ordered (genome, contig, start).  The `old_locus_tag` attribute links
+    back to the input annotation when a region matches an annotated gene.
+    """
+    with open(path, "w") as fh:
+        fh.write("##gff-version 3\n")
+        fh.write("##source peppan_tpu pan-genome\n")
+        for gname in genome_store.genome_names:
+            fh.write(f"##genome {gname}\n")
+        serial: dict = {}
+        for i in range(len(regions)):
+            g = int(regions.group[i])
+            gname = genome_store.genome_names[int(regions.genome[i])]
+            cname = genome_store.contig_names[int(regions.contig[i])]
+            strand = "+" if regions.strand[i] > 0 else "-"
+            serial[g] = serial.get(g, 0) + 1
+            rid = f"{group_names[g]}_{serial[g]}"
+            attrs = [f"ID={gname}:{rid}",
+                     f"inference=ortholog_group:{group_names[g]}",
+                     f"locus_tag={group_names[g]}",
+                     f"identity={regions.identity[i]:.4f}"]
+            gi = int(regions.gene_idx[i])
+            if gi >= 0:
+                attrs.append(f"old_locus_tag={gene_names[gi]}")
+            fh.write(f"{cname}\t{gname}\t{regions.status[i]}\t"
+                     f"{int(regions.start[i]) + 1}\t{int(regions.end[i]) + 1}"
+                     f"\t.\t{strand}\t0\t{';'.join(attrs)}\n")
+
+
+def region_presence_matrix(regions, n_groups: int,
+                           n_genomes: int) -> np.ndarray:
+    """int32[n_groups, n_genomes] region counts (CDS + pseudogene)."""
+    mat = np.zeros((n_groups, n_genomes), dtype=np.int32)
+    np.add.at(mat, (np.asarray(regions.group, np.int64),
+                    np.asarray(regions.genome, np.int64)), 1)
+    return mat
+
+
 def write_alleles(path: str, gene_store: GeneStore, group_of_gene: np.ndarray,
                   group_names: list) -> None:
     """One FASTA record per distinct allele sequence per group.

@@ -1,0 +1,322 @@
+"""Genome mapping: align group exemplars onto every genome (phase 5).
+
+PEPPAN's iter_map_bsn/get_map_bsn (reference: PEPPA.py — mount empty at
+build time; role per SURVEY.md §2.1/§3.1 phase 5) runs uberBlast of every
+exemplar against every genome to find ALL copies of each gene family —
+annotated or not, intact or disrupted — producing per-genome hit tables
+that the greedy ortholog assignment consumes.
+
+TPU-native pipeline:
+  1. canonical-minimizer index over genome contigs (device sketch, host
+     sorted table);
+  2. exemplar-vs-genome seed join; seeds chained by (contig, strand,
+     diagonal) proximity into candidate placements (minimap2-style: minus
+     strand uses the anti-diagonal g + i as the chain key);
+  3. window extraction around each candidate (host slice, revcomp for minus
+     strand) into fixed-width buckets;
+  4. one banded-SW stats pass per bucket (device) -> exact coordinates,
+     identity and exemplar coverage, mapped back to forward-strand genome
+     coordinates;
+  5. same-group hits separated by at most `stitch_gap` on one contig/strand
+     merge into a single disrupted-gene region (frameshift/IS-insertion
+     stitching, the uberBlast HSP-merge equivalent of SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..io import alphabet
+from ..io.tokens import GeneStore, GenomeStore, make_length_buckets
+from . import minimizers, sw
+
+
+@dataclasses.dataclass
+class GenomeIndex:
+    hash: np.ndarray     # uint32[n] sorted
+    contig: np.ndarray   # int32[n]
+    pos: np.ndarray      # int64[n] position on forward strand
+    strand: np.ndarray   # bool[n] forward-kmer-is-canonical
+    k: int
+    w: int
+
+
+def index_genomes(store: GenomeStore, *, k: int = 13, w: int = 8,
+                  chunk: int = 1 << 14) -> GenomeIndex:
+    """Minimizer index over all contigs (device sketch in fixed chunks)."""
+    hs, cs, ps, ss = [], [], [], []
+    overlap = k + w          # so no window is lost at chunk boundaries
+    for ci in range(store.n_contigs):
+        toks = store.contig_tokens(ci)
+        n = len(toks)
+        starts = list(range(0, max(n - overlap, 1), chunk - overlap))
+        rows = []
+        for s in starts:
+            seg = toks[s:s + chunk]
+            if len(seg) < chunk:
+                seg = np.concatenate([
+                    seg, np.full(chunk - len(seg), alphabet.DNA_PAD, np.int8)])
+            rows.append(seg)
+        dense = np.stack(rows)
+        h, st, f = minimizers.sketch_batch(dense, k, w)
+        f = f.copy()
+        # drop duplicated flags in the overlap region of non-first chunks
+        for ri in range(1, len(starts)):
+            f[ri, :overlap] = False
+        rr, cc = np.nonzero(f)
+        hs.append(h[rr, cc])
+        ss.append(st[rr, cc])
+        ps.append(np.asarray(starts, np.int64)[rr] + cc)
+        cs.append(np.full(len(rr), ci, np.int32))
+    h = np.concatenate(hs) if hs else np.zeros(0, np.uint32)
+    c = np.concatenate(cs) if cs else np.zeros(0, np.int32)
+    p = np.concatenate(ps) if ps else np.zeros(0, np.int64)
+    s = np.concatenate(ss) if ss else np.zeros(0, bool)
+    order = np.argsort(h, kind="stable")
+    return GenomeIndex(h[order], c[order], p[order], s[order], k, w)
+
+
+@dataclasses.dataclass
+class MapHits:
+    """Exemplar placements on genomes (parallel arrays, fwd-strand coords,
+    0-based inclusive)."""
+    exemplar: np.ndarray   # int32[m] gene id of the exemplar
+    genome: np.ndarray     # int32[m]
+    contig: np.ndarray     # int32[m]
+    start: np.ndarray      # int64[m]
+    end: np.ndarray        # int64[m]
+    strand: np.ndarray     # int8[m]
+    score: np.ndarray      # int32[m]
+    identity: np.ndarray   # float32[m]
+    qcov: np.ndarray       # float32[m] fraction of exemplar aligned
+    stitched: np.ndarray   # bool[m] merged from multiple fragments
+
+    def __len__(self):
+        return len(self.exemplar)
+
+    @staticmethod
+    def concat(parts: list) -> "MapHits":
+        if not parts:
+            z = np.zeros(0)
+            return MapHits(*(z.astype(t) for t in
+                             (np.int32, np.int32, np.int32, np.int64,
+                              np.int64, np.int8, np.int32, np.float32,
+                              np.float32, bool)))
+        return MapHits(*(np.concatenate([getattr(p, f.name) for p in parts])
+                         for f in dataclasses.fields(MapHits)))
+
+
+def map_exemplars(genes: GeneStore, genomes: GenomeStore,
+                  exemplar_ids: np.ndarray, index: GenomeIndex, *,
+                  min_identity: float = 0.65, min_frag_len: int = 50,
+                  band: int = 128, slack: int = 64, batch: int = 512,
+                  gap_open: int = 5, gap_extend: int = 2,
+                  min_seeds: int = 2, stitch_gap: int = 300) -> MapHits:
+    """Map every exemplar gene onto every genome."""
+    from . import pairs as prs
+
+    # --- seeds: batched sketch of all exemplars, vectorized hash join -----
+    sub = genes.subset(np.asarray(exemplar_ids))
+    tbl = prs.build_minimizer_table(sub, k=index.k, w=index.w, batch=batch)
+    lo = np.searchsorted(index.hash, tbl.hash, side="left")
+    hi = np.searchsorted(index.hash, tbl.hash, side="right")
+    cnt = hi - lo
+    keep = (cnt > 0) & (cnt <= 64)         # skip repetitive genome seeds
+    reps = cnt[keep]
+    if reps.sum() == 0:
+        return MapHits.concat([])
+    # flat indices into the genome index: lo repeated + within-run offsets
+    base = np.repeat(lo[keep], reps)
+    off = np.arange(len(base)) - np.repeat(
+        np.cumsum(reps) - reps, reps)
+    flat = base + off
+    ex_r = np.repeat(tbl.gene[keep], reps)         # subset-local exemplar id
+    qpos_r = np.repeat(tbl.pos[keep], reps).astype(np.int64)
+    qstr_r = np.repeat(tbl.strand[keep], reps)
+    gpos = index.pos[flat]
+    gcontig = index.contig[flat]
+    rel = index.strand[flat] == qstr_r             # True = forward match
+
+    cand_rows = []   # (exemplar, contig, strand_rel, window_a, window_b)
+    qlen_of = sub.length
+    diag = np.where(rel, gpos - qpos_r, gpos + qpos_r)
+    order = np.lexsort((gpos, diag, rel, gcontig, ex_r))
+    cur = None
+    chains = []   # (sub_ex, contig, fwd, anchor_g, anchor_q, nseeds)
+
+    def flush(c):
+        if c is not None:
+            chains.append(c)
+
+    for idx in order:
+        key = (int(ex_r[idx]), int(gcontig[idx]), bool(rel[idx]))
+        dv, gv, qv = int(diag[idx]), int(gpos[idx]), int(qpos_r[idx])
+        if (cur is None or cur[0] != key or abs(dv - cur[1]) > 64
+                or gv - cur[2] > 2000):
+            flush(cur[3] if cur else None)
+            cur = [key, dv, gv, [key[0], key[1], key[2], gv, qv, 1]]
+        else:
+            cur[1], cur[2] = dv, gv
+            cur[3][5] += 1
+    flush(cur[3] if cur else None)
+
+    for (sx, ci, fwd, g, q, nseeds) in chains:
+        L = int(qlen_of[sx])
+        ex = int(exemplar_ids[sx])
+        if nseeds < min_seeds and L > 4 * min_frag_len:
+            continue
+        clen = int(genomes.contig_offset[ci + 1]
+                   - genomes.contig_offset[ci])
+        if fwd:
+            a = g - q - slack
+            b = a + L + 2 * slack
+        else:
+            b = g + index.k + q + slack
+            a = b - L - 2 * slack
+        a, b = max(0, int(a)), min(clen, int(b))
+        if b - a < min(min_frag_len, L):
+            continue
+        cand_rows.append((ex, ci, 1 if fwd else -1, a, b))
+    if not cand_rows:
+        return MapHits.concat([])
+
+    # dedup identical candidate windows
+    cand_rows = sorted(set(cand_rows))
+
+    # --- align candidates in width buckets --------------------------------
+    widths = make_length_buckets(
+        max(int(b - a) for (_, _, _, a, b) in cand_rows))
+    by_bucket: dict = {}
+    for row in cand_rows:
+        wbi = int(np.searchsorted(widths, row[4] - row[3], side="left"))
+        by_bucket.setdefault(wbi, []).append(row)
+
+    scorer = sw.dna_scorer()
+    results = []
+    for wbi, rows in sorted(by_bucket.items()):
+        width = int(widths[wbi])
+        qw = max(_bucket_width(max(int(genes.length[r[0]]) for r in rows)),
+                 band)
+        i = 0
+        while i < len(rows):
+            chunk_rows = rows[i:i + batch]
+            P = _pad_pow2(len(chunk_rows), batch)
+            qd = np.full((P, qw), alphabet.DNA_PAD, np.int8)
+            td = np.full((P, width), alphabet.DNA_PAD, np.int8)
+            for ri, (ex, ci, strand, a, b) in enumerate(chunk_rows):
+                qt = genes.gene_tokens(ex)
+                qd[ri, :len(qt)] = qt[:qw]
+                wt = genomes.contig_tokens(ci)[a:b]
+                if strand < 0:
+                    wt = alphabet.revcomp(wt)
+                td[ri, :len(wt)] = wt[:width]
+            res = sw.sw_banded(qd, td, scorer=scorer, gap_open=gap_open,
+                               gap_extend=gap_extend, band=band,
+                               with_stats=True)
+            res = {k2: np.asarray(v)[:len(chunk_rows)]
+                   for k2, v in res.items()}
+            for ri, (ex, ci, strand, a, b) in enumerate(chunk_rows):
+                if res["score"][ri] <= 0:
+                    continue
+                alen = int(res["aln_len"][ri])
+                ident = res["matches"][ri] / max(alen, 1)
+                span = int(res["qend"][ri]) - int(res["qstart"][ri]) + 1
+                if ident < min_identity or span < min_frag_len:
+                    continue
+                ts, te = int(res["tstart"][ri]), int(res["tend"][ri])
+                if strand > 0:
+                    gs, ge = a + ts, a + te
+                else:
+                    gs, ge = b - 1 - te, b - 1 - ts
+                results.append((ex, int(genomes.contig_genome[ci]), ci,
+                                gs, ge, strand, int(res["score"][ri]),
+                                float(ident),
+                                span / max(int(genes.length[ex]), 1)))
+            i += batch
+
+    if not results:
+        return MapHits.concat([])
+    res_arr = sorted(results)
+    hits = MapHits(
+        exemplar=np.asarray([r[0] for r in res_arr], np.int32),
+        genome=np.asarray([r[1] for r in res_arr], np.int32),
+        contig=np.asarray([r[2] for r in res_arr], np.int32),
+        start=np.asarray([r[3] for r in res_arr], np.int64),
+        end=np.asarray([r[4] for r in res_arr], np.int64),
+        strand=np.asarray([r[5] for r in res_arr], np.int8),
+        score=np.asarray([r[6] for r in res_arr], np.int32),
+        identity=np.asarray([r[7] for r in res_arr], np.float32),
+        qcov=np.asarray([r[8] for r in res_arr], np.float32),
+        stitched=np.zeros(len(res_arr), bool),
+    )
+    return _dedup_and_stitch(hits, genes, stitch_gap)
+
+
+def _dedup_and_stitch(hits: MapHits, genes: GeneStore,
+                      stitch_gap: int) -> MapHits:
+    """Drop duplicate/contained same-exemplar hits; merge same-exemplar
+    fragments on one contig/strand separated by <= stitch_gap."""
+    keep: list = []
+    order = np.lexsort((-hits.score, hits.start, hits.strand.astype(int),
+                        hits.contig, hits.exemplar))
+    last: dict = {}
+    rows = []
+    for idx in order:
+        key = (int(hits.exemplar[idx]), int(hits.contig[idx]),
+               int(hits.strand[idx]))
+        s, e = int(hits.start[idx]), int(hits.end[idx])
+        merged = False
+        if key in last:
+            prev = rows[last[key]]
+            if s <= prev["end"] + stitch_gap:
+                if e <= prev["end"]:
+                    continue               # contained duplicate
+                ln_new = e - max(s, prev["end"] + 1) + 1
+                tot = prev["end"] - prev["start"] + 1 + ln_new
+                prev["identity"] = (
+                    prev["identity"] * (prev["end"] - prev["start"] + 1)
+                    + float(hits.identity[idx]) * ln_new) / tot
+                prev["end"] = e
+                prev["score"] += int(hits.score[idx])
+                prev["qcov"] = min(
+                    1.0, prev["qcov"] + float(hits.qcov[idx]))
+                prev["stitched"] = True
+                merged = True
+        if not merged:
+            rows.append(dict(
+                exemplar=key[0], genome=int(hits.genome[idx]),
+                contig=key[1], start=s, end=e, strand=key[2],
+                score=int(hits.score[idx]),
+                identity=float(hits.identity[idx]),
+                qcov=float(hits.qcov[idx]), stitched=False))
+            last[key] = len(rows) - 1
+    if not rows:
+        return MapHits.concat([])
+    rows.sort(key=lambda r: (r["genome"], r["contig"], r["start"],
+                             r["exemplar"]))
+    return MapHits(
+        exemplar=np.asarray([r["exemplar"] for r in rows], np.int32),
+        genome=np.asarray([r["genome"] for r in rows], np.int32),
+        contig=np.asarray([r["contig"] for r in rows], np.int32),
+        start=np.asarray([r["start"] for r in rows], np.int64),
+        end=np.asarray([r["end"] for r in rows], np.int64),
+        strand=np.asarray([r["strand"] for r in rows], np.int8),
+        score=np.asarray([r["score"] for r in rows], np.int32),
+        identity=np.asarray([r["identity"] for r in rows], np.float32),
+        qcov=np.asarray([r["qcov"] for r in rows], np.float32),
+        stitched=np.asarray([r["stitched"] for r in rows], bool),
+    )
+
+
+def _bucket_width(n: int) -> int:
+    buckets = make_length_buckets(max(n, 1))
+    return int(buckets[np.searchsorted(buckets, n, side="left")])
+
+
+def _pad_pow2(n: int, cap: int) -> int:
+    p = 32
+    while p < min(n, cap):
+        p *= 2
+    return p

@@ -26,10 +26,12 @@ from . import minimizers, sw
 
 @dataclasses.dataclass
 class MinimizerTable:
-    """Flat (hash, gene, pos) minimizer occurrence table, hash-sorted."""
-    hash: np.ndarray   # uint32[n]
-    gene: np.ndarray   # int32[n]
-    pos: np.ndarray    # int32[n]
+    """Flat (hash, gene, pos, strand) minimizer table, hash-sorted.
+    strand: forward-kmer-is-canonical bit (for genome mapping joins)."""
+    hash: np.ndarray    # uint32[n]
+    gene: np.ndarray    # int32[n]
+    pos: np.ndarray     # int32[n]
+    strand: np.ndarray  # bool[n]
 
 
 def _pad_rows(n: int, batch: int) -> int:
@@ -48,10 +50,11 @@ def build_minimizer_table(store: GeneStore, k: int = 13, w: int = 8,
     n = store.n_genes
     if n == 0:
         z = np.zeros(0, np.uint32)
-        return MinimizerTable(z, z.astype(np.int32), z.astype(np.int32))
+        return MinimizerTable(z, z.astype(np.int32), z.astype(np.int32),
+                              z.astype(bool))
     buckets = make_length_buckets(int(store.length.max()))
     order = np.argsort(store.length, kind="stable")
-    hs, gs, ps = [], [], []
+    hs, gs, ps, ss = [], [], [], []
     i = 0
     while i < n:
         j = min(i + batch, n)
@@ -61,19 +64,21 @@ def build_minimizer_table(store: GeneStore, k: int = 13, w: int = 8,
         rows_padded = _pad_rows(j - i, batch)
         dense = np.full((rows_padded, width), alphabet.DNA_PAD, np.int8)
         dense[:j - i] = pad_to_dense(store, idx, width)
-        h, _, f = minimizers.sketch_batch(dense, k, w)
+        h, st, f = minimizers.sketch_batch(dense, k, w)
         f = f.copy()
         f[j - i:] = False
         rows, cols = np.nonzero(f)
         hs.append(h[rows, cols])
         gs.append(idx[rows].astype(np.int32))
         ps.append(cols.astype(np.int32))
+        ss.append(st[rows, cols])
         i = j
     h = np.concatenate(hs)
     g = np.concatenate(gs)
     p = np.concatenate(ps)
+    s = np.concatenate(ss)
     order = np.lexsort((g, h))
-    return MinimizerTable(h[order], g[order], p[order])
+    return MinimizerTable(h[order], g[order], p[order], s[order])
 
 
 def candidate_pairs(table: MinimizerTable, *, max_group: int = 64,

@@ -24,12 +24,13 @@ import time
 
 import numpy as np
 
+from .assign import greedy
 from .cluster import linclust, split
 from .cluster.unionfind import connected_components
 from .config import PipelineConfig
 from .io import gff, writers
 from .io.tokens import GeneStore, GenomeStore
-from .ops import pairs as prs
+from .ops import genome_map, pairs as prs
 
 log = logging.getLogger("peppan_tpu")
 
@@ -43,6 +44,8 @@ class PipelineResult:
     group_names: list
     outputs: dict                 # name -> path
     phase_seconds: dict
+    map_hits: object = None       # ops.genome_map.MapHits
+    regions: object = None        # assign.greedy.Regions
 
 
 def _similarity_groups(store: GeneStore, clusters: linclust.ClusterResult,
@@ -105,6 +108,16 @@ def run(paths: list, cfg: PipelineConfig = PipelineConfig(),
     tick("similar_pairs", t0)
     log.info("groups=%d", len(group_names))
 
+    t0 = time.time()
+    gindex = genome_map.index_genomes(genome_store, k=cfg.kmer, w=cfg.window)
+    map_hits = genome_map.map_exemplars(
+        gene_store, genome_store, clusters.exemplar_ids, gindex,
+        min_identity=cfg.match_identity, min_frag_len=cfg.match_frag_len,
+        band=cfg.band, batch=cfg.sw_batch, gap_open=cfg.gap_open,
+        gap_extend=cfg.gap_extend, stitch_gap=cfg.synteny_gap)
+    tick("genome_map", t0)
+    log.info("map_hits=%d", len(map_hits))
+
     if cfg.paralog_split:
         t0 = time.time()
         div = split.estimate_divergence(gene_store, group_of_gene,
@@ -126,6 +139,23 @@ def run(paths: list, cfg: PipelineConfig = PipelineConfig(),
         tick("paralog_split", t0)
         log.info("groups_after_split=%d", len(np.unique(group_of_gene)))
 
+    # phase 7: greedy region assignment over the genome-map hits
+    t0 = time.time()
+    group_of_exemplar = {int(e): int(group_of_gene[int(e)])
+                         for e in clusters.exemplar_ids}
+    regions = greedy.greedy_assign(
+        map_hits, group_of_exemplar, gene_store, genome_store,
+        pseudogene_frac=cfg.pseudogene_frac, synteny_gap=cfg.synteny_gap,
+        synteny_diff=cfg.synteny_diff, neighbor_check=cfg.neighbor_check)
+    # unify: a gene matched by a region adopts the region's group
+    for i in range(len(regions)):
+        gi = int(regions.gene_idx[i])
+        if gi >= 0:
+            group_of_gene[gi] = int(regions.group[i])
+    tick("assign", t0)
+    log.info("regions=%d (pseudo=%d)", len(regions),
+             int((regions.status == "pseudogene").sum()))
+
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
     pre = os.path.join(out_dir, cfg.prefix)
@@ -135,14 +165,15 @@ def run(paths: list, cfg: PipelineConfig = PipelineConfig(),
         "rtab": pre + ".gene_content.Rtab",
         "csv": pre + ".gene_content.csv",
     }
-    writers.write_pan_gff(outputs["gff"], genome_store, gene_store,
-                          group_of_gene, group_names)
+    writers.write_region_gff(outputs["gff"], genome_store, regions,
+                             group_names, gene_store.names)
     writers.write_alleles(outputs["alleles"], gene_store, group_of_gene,
                           group_names)
-    mat = writers.presence_matrix(gene_store, group_of_gene, len(group_names),
-                                  genome_store.n_genomes)
+    mat = writers.region_presence_matrix(regions, len(group_names),
+                                         genome_store.n_genomes)
     writers.write_gene_content(outputs["rtab"], outputs["csv"], mat,
                                group_names, genome_store.genome_names)
     tick("write_output", t0)
     return PipelineResult(genome_store, gene_store, clusters, group_of_gene,
-                          group_names, outputs, phase_seconds)
+                          group_names, outputs, phase_seconds,
+                          map_hits=map_hits, regions=regions)

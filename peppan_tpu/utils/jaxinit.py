@@ -20,6 +20,12 @@ def setup_cache(path: str | None = None) -> None:
         return
     import jax
 
+    # only worth it (and only safe) for the tunnelled TPU backend: CPU AOT
+    # entries written under different XLA flags SIGILL-warn on reload
+    if jax.default_backend() in ("cpu",):
+        _done = True
+        return
+
     path = path or os.path.join(
         os.path.expanduser("~"), ".cache", "peppan_tpu_xla")
     try:

@@ -1,0 +1,97 @@
+"""Phase-5 genome mapping and phase-7 assignment unit tests."""
+
+import numpy as np
+import pytest
+
+from peppan_tpu.assign import greedy
+from peppan_tpu.io import alphabet as ab, gff
+from peppan_tpu.ops import genome_map
+from peppan_tpu.utils import simulate
+
+
+@pytest.fixture(scope="module")
+def mapped(tmp_path_factory):
+    sim = simulate.simulate(n_genomes=3, n_core=8, n_accessory=0,
+                            mean_gene_codons=150, divergence=0.02, seed=21)
+    out = tmp_path_factory.mktemp("map_sim")
+    paths = simulate.write_gff(sim, str(out))
+    genomes, genes = gff.load_genomes(paths)
+    index = genome_map.index_genomes(genomes)
+    # map every gene of genome 0 (exemplar stand-ins) onto everything
+    ex = np.flatnonzero(genes.genome == 0).astype(np.int64)
+    hits = genome_map.map_exemplars(genes, genomes, ex, index)
+    return sim, genomes, genes, ex, hits
+
+
+def test_every_gene_found_in_every_genome(mapped):
+    sim, genomes, genes, ex, hits = mapped
+    # each exemplar (core family) should hit all 3 genomes
+    for e in ex:
+        got = set(hits.genome[hits.exemplar == e].tolist())
+        assert got == {0, 1, 2}, genes.names[e]
+
+
+def test_self_hit_exact(mapped):
+    sim, genomes, genes, ex, hits = mapped
+    for e in ex:
+        sel = (hits.exemplar == e) & (hits.genome == 0)
+        assert sel.sum() == 1
+        i = int(np.flatnonzero(sel)[0])
+        # coordinates must match the annotation (GFF 1-based -> 0-based)
+        assert int(hits.start[i]) == int(genes.start[e]) - 1
+        assert int(hits.end[i]) == int(genes.end[e]) - 1
+        assert int(hits.strand[i]) == int(genes.strand[e])
+        assert hits.identity[i] == 1.0
+        assert hits.qcov[i] == 1.0
+
+
+def test_minus_strand_coordinates(mapped):
+    sim, genomes, genes, ex, hits = mapped
+    minus = [e for e in ex if genes.strand[e] < 0]
+    assert minus, "fixture should contain minus-strand genes"
+    e = minus[0]
+    sel = (hits.exemplar == e) & (hits.genome == 0)
+    i = int(np.flatnonzero(sel)[0])
+    # the genome subsequence, revcomp'd, must equal the gene
+    ci = int(hits.contig[i])
+    s, t = int(hits.start[i]), int(hits.end[i])
+    seg = genomes.contig_tokens(ci)[s:t + 1]
+    assert np.array_equal(ab.revcomp(seg), genes.gene_tokens(int(e)))
+
+
+def test_truncated_copy_called_pseudogene(tmp_path):
+    rng = np.random.default_rng(5)
+    sim = simulate.simulate(n_genomes=2, n_core=6, n_accessory=0,
+                            mean_gene_codons=200, divergence=0.01, seed=33)
+    # truncate one gene in genome 1: chop its 3' half out of the contig
+    gname = sim.genome_names[1]
+    cname, s, e, st, gid = sim.features[1][2]
+    contig = sim.contigs[1][cname]
+    cut_from = s - 1 + (e - s + 1) // 2
+    sim.contigs[1][cname] = np.concatenate([contig[:cut_from],
+                                            contig[e:]])
+    # remove the feature (it is now broken) and shift downstream features
+    removed = e - cut_from
+    sim.features[1] = [
+        (c, ss if ss <= cut_from else ss - removed,
+         ee if ee <= cut_from else ee - removed, stt, g)
+        for (c, ss, ee, stt, g) in sim.features[1] if g != gid]
+    paths = simulate.write_gff(sim, str(tmp_path))
+    genomes, genes = gff.load_genomes(paths)
+    index = genome_map.index_genomes(genomes)
+    ex = np.flatnonzero(genes.genome == 0).astype(np.int64)
+    hits = genome_map.map_exemplars(genes, genomes, ex, index)
+    group_of_ex = {int(e2): int(k) for k, e2 in enumerate(ex)}
+    regions = greedy.greedy_assign(hits, group_of_ex, genes, genomes)
+    # find the truncated family's region in genome 1
+    fam = sim.truth[gid]
+    ex_of_fam = [int(e2) for e2 in ex if sim.truth[genes.names[e2]] == fam]
+    assert ex_of_fam
+    sel = np.flatnonzero(
+        (regions.exemplar == ex_of_fam[0]) & (regions.genome == 1))
+    assert len(sel) >= 1
+    assert all(regions.status[i] == "pseudogene" for i in sel)
+    # intact copies elsewhere stay CDS
+    sel0 = np.flatnonzero(
+        (regions.exemplar == ex_of_fam[0]) & (regions.genome == 0))
+    assert all(regions.status[i] == "CDS" for i in sel0)
