@@ -1,0 +1,138 @@
+"""Command-line interface — PEPPA / PEPPA_parser flag-compatible.
+
+Reference entry points (SURVEY.md §1 L5, §5.6; mount empty at build time):
+  PEPPA -p out -t 8 examples/*.gff          -> `peppan-tpu pan`
+  PEPPA_parser -g out.PEPPAN.gff -p OUT -m  -> `peppan-tpu parse`
+
+Flag names follow the reference so published command lines keep working;
+TPU-only knobs (band, kmer, mesh) are additions.  ``--n_thread`` is
+accepted for compatibility and ignored (parallelism is the device mesh,
+not host threads).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+
+def _pan_parser(sub):
+    p = sub.add_parser("pan", help="reconstruct a pan-genome from GFF3s")
+    p.add_argument("gffs", nargs="+", help="one GFF3(+FASTA) per genome")
+    p.add_argument("-p", "--prefix", default="PEPPAN_TPU")
+    p.add_argument("-o", "--out_dir", default=".")
+    p.add_argument("-t", "--n_thread", type=int, default=None,
+                   help="accepted for PEPPA compatibility; ignored")
+    p.add_argument("--min_cds", type=int, default=120)
+    p.add_argument("--incompleteCDS", action="store_true")
+    p.add_argument("--gtable", type=int, default=11)
+    p.add_argument("--clust_identity", type=float, default=0.9)
+    p.add_argument("--clust_match_prop", type=float, default=0.9)
+    p.add_argument("--match_identity", type=float, default=0.65)
+    p.add_argument("--match_prop", type=float, default=0.5)
+    p.add_argument("--match_frag_len", type=int, default=50)
+    p.add_argument("--nucl", action="store_true",
+                   help="nucleotide-only mode (skip protein-level search)")
+    p.add_argument("--allowed_sigma", type=float, default=3.0)
+    p.add_argument("--noNeighborCheck", action="store_true")
+    p.add_argument("--synteny_gap", type=int, default=300)
+    p.add_argument("--synteny_diff", type=float, default=1.2)
+    p.add_argument("--pseudogene", type=float, default=0.8)
+    p.add_argument("--noParalogSplit", action="store_true")
+    p.add_argument("--continue", dest="continue_run", action="store_true")
+    # TPU-native knobs
+    p.add_argument("--band", type=int, default=128)
+    p.add_argument("--kmer", type=int, default=13)
+    p.add_argument("--window", type=int, default=8)
+    p.add_argument("--sw_batch", type=int, default=512)
+    return p
+
+
+def _parse_parser(sub):
+    p = sub.add_parser("parse", help="post-process a PEPPAN.gff")
+    p.add_argument("-g", "--gff", required=True, help="<prefix>.PEPPAN.gff")
+    p.add_argument("-p", "--prefix", default="PEPPAN_TPU_OUT")
+    p.add_argument("-m", "--matrix", action="store_true",
+                   help="write gene presence/absence matrix (.Rtab)")
+    p.add_argument("-t", "--tree", action="store_true",
+                   help="write pan-genome NJ tree (.nwk)")
+    p.add_argument("-a", "--cgav", type=float, default=None, metavar="PCT",
+                   help="core alignment for groups in >= PCT%% of genomes")
+    p.add_argument("-c", "--curve", action="store_true",
+                   help="write rarefaction curve")
+    p.add_argument("--input_gffs", nargs="*", default=[],
+                   help="original input GFFs (needed for -a)")
+    return p
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(levelname).1s %(message)s")
+    ap = argparse.ArgumentParser(prog="peppan-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    _pan_parser(sub)
+    _parse_parser(sub)
+    args = ap.parse_args(argv)
+
+    from .utils import jaxinit
+    jaxinit.setup_cache()
+
+    if args.cmd == "pan":
+        from . import pipeline
+        from .config import PipelineConfig
+
+        cfg = PipelineConfig(
+            prefix=args.prefix, min_cds=args.min_cds,
+            incomplete_cds=args.incompleteCDS, gtable=args.gtable,
+            clust_identity=args.clust_identity,
+            clust_match_prop=args.clust_match_prop,
+            match_identity=args.match_identity, match_prop=args.match_prop,
+            match_frag_len=args.match_frag_len, nucl_only=args.nucl,
+            allowed_sigma=args.allowed_sigma,
+            paralog_split=not args.noParalogSplit,
+            synteny_gap=args.synteny_gap, synteny_diff=args.synteny_diff,
+            neighbor_check=not args.noNeighborCheck,
+            pseudogene_frac=args.pseudogene, band=args.band, kmer=args.kmer,
+            window=args.window, sw_batch=args.sw_batch,
+            continue_run=args.continue_run)
+        res = pipeline.run(args.gffs, cfg, out_dir=args.out_dir)
+        for k, v in res.outputs.items():
+            print(f"{k}: {v}")
+        return 0
+
+    # parse subcommand
+    from .postprocess import parser as post
+
+    pan = post.read_pan_gff(args.gff)
+    print(f"pan-genome: {len(pan.groups)} groups x {len(pan.genomes)} "
+          f"genomes, {len(pan.records)} regions")
+    if args.matrix:
+        path = args.prefix + ".gene_content.Rtab"
+        post.write_matrix(pan, path)
+        print(f"matrix: {path}")
+    if args.tree:
+        path = args.prefix + ".tree.nwk"
+        post.pan_tree(pan, path)
+        print(f"tree: {path}")
+    if args.cgav is not None:
+        if not args.input_gffs:
+            print("error: -a needs --input_gffs to fetch allele sequences",
+                  file=sys.stderr)
+            return 2
+        fa = args.prefix + ".core.aln.fasta"
+        snp = args.prefix + ".core.snps.tsv"
+        ncore, nsnp = post.core_alignment(
+            pan, args.input_gffs, fa, snp, core_frac=args.cgav / 100.0)
+        print(f"core alignment: {fa} ({ncore} groups); snps: {snp} "
+              f"({nsnp} sites)")
+    if args.curve:
+        path = args.prefix + ".rarefaction.tsv"
+        post.rarefaction(pan, path)
+        print(f"curve: {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

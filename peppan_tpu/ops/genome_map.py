@@ -30,6 +30,7 @@ import numpy as np
 
 from ..io import alphabet
 from ..io.tokens import GeneStore, GenomeStore, make_length_buckets
+from ..utils import metrics
 from . import minimizers, sw
 
 
@@ -217,6 +218,9 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
                                with_stats=True)
             res = {k2: np.asarray(v)[:len(chunk_rows)]
                    for k2, v in res.items()}
+            metrics.add("map_windows", len(chunk_rows))
+            metrics.add("sw_lane_cells", P * (qw + width - 1) * band)
+            metrics.add("sw_launches", 1)
             for ri, (ex, ci, strand, a, b) in enumerate(chunk_rows):
                 if res["score"][ri] <= 0:
                     continue

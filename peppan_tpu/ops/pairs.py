@@ -21,6 +21,7 @@ import numpy as np
 
 from ..io import alphabet
 from ..io.tokens import GeneStore, make_length_buckets, pad_to_dense
+from ..utils import metrics
 from . import minimizers, sw
 
 
@@ -121,6 +122,9 @@ def candidate_pairs(table: MinimizerTable, *, max_group: int = 64,
     a = np.concatenate(a_list).astype(np.int64)
     b = np.concatenate(b_list).astype(np.int64)
     d = np.concatenate(d_list).astype(np.int32)
+    if len(a) == 0:   # every group's pairs were self-pairs
+        return (np.zeros((0, 2), np.int32), np.zeros(0, np.int32),
+                np.zeros(0, np.int32))
     key = (a << 32) | b
     order = np.argsort(key, kind="stable")
     key, d = key[order], d[order]
@@ -198,6 +202,10 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
                                gap_extend=gap_extend, band=band,
                                with_stats=True)
             res = {k2: np.asarray(v)[:len(sel)] for k2, v in res.items()}
+            metrics.add("sw_pairs", len(sel))
+            metrics.add("sw_lane_cells",
+                        rows_padded * (wq + width - 1) * band)
+            metrics.add("sw_launches", 1)
             out_score[sel] = np.asarray(res["score"])
             out_match[sel] = np.asarray(res["matches"])
             out_alen[sel] = np.asarray(res["aln_len"])

@@ -31,6 +31,7 @@ from .config import PipelineConfig
 from .io import gff, writers
 from .io.tokens import GeneStore, GenomeStore
 from .ops import genome_map, pairs as prs
+from .utils import manifest, metrics
 
 log = logging.getLogger("peppan_tpu")
 
@@ -82,9 +83,16 @@ def run(paths: list, cfg: PipelineConfig = PipelineConfig(),
     jaxinit.setup_cache()
     phase_seconds: dict = {}
 
+    os.makedirs(out_dir, exist_ok=True)
+    phase_log = metrics.PhaseLog(
+        os.path.join(out_dir, cfg.prefix + ".phases.jsonl"))
+
     def tick(name, t0):
         phase_seconds[name] = time.time() - t0
-        log.info("phase %-14s %6.2fs", name, phase_seconds[name])
+        entry = phase_log.record(name, phase_seconds[name])
+        log.info("phase %-14s %6.2fs %s", name, phase_seconds[name],
+                 {k: v for k, v in entry.items()
+                  if k not in ("phase", "seconds", "ts")})
 
     t0 = time.time()
     genome_store, gene_store = gff.load_genomes(
@@ -94,39 +102,78 @@ def run(paths: list, cfg: PipelineConfig = PipelineConfig(),
     log.info("genomes=%d contigs=%d genes=%d", genome_store.n_genomes,
              genome_store.n_contigs, gene_store.n_genes)
 
+    cache = manifest.PhaseCache(
+        os.path.join(out_dir, cfg.prefix + ".phase_cache"), list(paths),
+        repr(cfg), cfg.continue_run)
+
     t0 = time.time()
-    clusters = linclust.cluster_genes(
-        gene_store, identity=cfg.clust_identity,
-        coverage=cfg.clust_match_prop, k=cfg.kmer, w=cfg.window,
-        band=cfg.band, max_group=cfg.max_minimizer_group, batch=cfg.sw_batch)
+    ent = cache.load("cluster")
+    if ent is not None:
+        clusters = linclust.ClusterResult(
+            root=ent["root"], exemplar=ent["exemplar"],
+            exemplar_ids=ent["exemplar_ids"],
+            hits=prs.PairHits(*(ent[f"h_{f}"] for f in
+                                ("pairs", "score", "identity", "qcov",
+                                 "tcov", "matches", "aln_len"))))
+        log.info("cluster: resumed from cache")
+    else:
+        clusters = linclust.cluster_genes(
+            gene_store, identity=cfg.clust_identity,
+            coverage=cfg.clust_match_prop, k=cfg.kmer, w=cfg.window,
+            band=cfg.band, max_group=cfg.max_minimizer_group,
+            batch=cfg.sw_batch)
+        cache.store("cluster", {
+            "root": clusters.root, "exemplar": clusters.exemplar,
+            "exemplar_ids": clusters.exemplar_ids,
+            **{f"h_{f.name}": getattr(clusters.hits, f.name)
+               for f in dataclasses.fields(prs.PairHits)}})
     tick("cluster", t0)
     log.info("clusters=%d", clusters.n_clusters)
 
     t0 = time.time()
-    group_root = _similarity_groups(gene_store, clusters, cfg)
+    ent = cache.load("similar_pairs")
+    if ent is not None:
+        group_root = ent["group_root"]
+    else:
+        group_root = _similarity_groups(gene_store, clusters, cfg)
+        cache.store("similar_pairs", {"group_root": group_root})
     group_of_gene, group_names = _dense_groups(group_root, gene_store.names)
     tick("similar_pairs", t0)
     log.info("groups=%d", len(group_names))
 
     t0 = time.time()
-    gindex = genome_map.index_genomes(genome_store, k=cfg.kmer, w=cfg.window)
-    map_hits = genome_map.map_exemplars(
-        gene_store, genome_store, clusters.exemplar_ids, gindex,
-        min_identity=cfg.match_identity, min_frag_len=cfg.match_frag_len,
-        band=cfg.band, batch=cfg.sw_batch, gap_open=cfg.gap_open,
-        gap_extend=cfg.gap_extend, stitch_gap=cfg.synteny_gap)
+    ent = cache.load("genome_map")
+    if ent is not None:
+        map_hits = genome_map.MapHits(
+            *(ent[f.name] for f in dataclasses.fields(genome_map.MapHits)))
+    else:
+        gindex = genome_map.index_genomes(genome_store, k=cfg.kmer,
+                                          w=cfg.window)
+        map_hits = genome_map.map_exemplars(
+            gene_store, genome_store, clusters.exemplar_ids, gindex,
+            min_identity=cfg.match_identity, min_frag_len=cfg.match_frag_len,
+            band=cfg.band, batch=cfg.sw_batch, gap_open=cfg.gap_open,
+            gap_extend=cfg.gap_extend, stitch_gap=cfg.synteny_gap)
+        cache.store("genome_map", {
+            f.name: getattr(map_hits, f.name)
+            for f in dataclasses.fields(genome_map.MapHits)})
     tick("genome_map", t0)
     log.info("map_hits=%d", len(map_hits))
 
     if cfg.paralog_split:
         t0 = time.time()
-        div = split.estimate_divergence(gene_store, group_of_gene,
-                                        clusters.hits,
-                                        genome_store.n_genomes)
-        new_groups = split.split_groups(
-            gene_store, group_of_gene, div,
-            allowed_sigma=cfg.allowed_sigma, band=cfg.band,
-            batch=cfg.sw_batch)
+        ent = cache.load("paralog_split")
+        if ent is not None:
+            new_groups = ent["labels"]
+        else:
+            div = split.estimate_divergence(gene_store, group_of_gene,
+                                            clusters.hits,
+                                            genome_store.n_genomes)
+            new_groups = split.split_groups(
+                gene_store, group_of_gene, div,
+                allowed_sigma=cfg.allowed_sigma, band=cfg.band,
+                batch=cfg.sw_batch)
+            cache.store("paralog_split", {"labels": new_groups})
         # name fresh subgroup labels after their smallest member gene
         n_old = len(group_names)
         for lbl in np.unique(new_groups):

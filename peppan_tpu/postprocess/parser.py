@@ -1,0 +1,230 @@
+"""Post-processing of the pan-genome GFF — PEPPA_parser.py equivalent.
+
+Reference call stack (SURVEY.md §3.4; mount empty at build time):
+  PEPPA_parser -g out.PEPPAN.gff -p OUT -m -t -a 95 -c
+    -m  gene presence/absence matrix (Roary-compatible .Rtab + csv)
+    -t  pan-genome NJ tree from presence/absence distances -> Newick
+    -a N core-genome alignment over groups present in >= N% of genomes,
+         plus a SNP site matrix
+    -c  rarefaction (gene accumulation) curve over random genome orderings
+
+TPU-native notes: the presence matrix and genome-pair distances are tiny
+(device optional); the pan tree reuses cluster.nj.nj_batched; the core
+alignment projects each genome's allele onto exemplar coordinates — a fast
+path handles indel-free alleles by direct comparison, the general path
+walks the host traceback (sw_oracle.sw_traceback) — the same phase-2
+winners-only strategy as SURVEY.md §7.3.3.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..cluster import nj
+from ..io import alphabet
+from ..io.gff import read_gff
+from ..ops import sw_oracle
+
+_ATTR = re.compile(r"inference=ortholog_group:([^;]+)")
+_OLD = re.compile(r"old_locus_tag=([^;]+)")
+
+
+@dataclasses.dataclass
+class PanGenome:
+    genomes: list        # genome names (GFF source column), ordered
+    groups: list         # group names, ordered
+    counts: np.ndarray   # int32[n_groups, n_genomes] region counts
+    records: list        # (group_idx, genome_idx, contig, start, end,
+                         #  strand, status)
+
+
+def read_pan_gff(path: str) -> PanGenome:
+    genomes: dict = {}
+    groups: dict = {}
+    records = []
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("##genome "):
+                name = line.split(None, 1)[1].strip()
+                genomes.setdefault(name, len(genomes))
+                continue
+            if line.startswith("#"):
+                continue
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 9:
+                continue
+            cname, gname, status, s, e, _sc, strand, _f, attrs = parts[:9]
+            m = _ATTR.search(attrs)
+            if not m:
+                continue
+            gi = genomes.setdefault(gname, len(genomes))
+            grp = groups.setdefault(m.group(1), len(groups))
+            records.append((grp, gi, cname, int(s), int(e),
+                            1 if strand != "-" else -1, status))
+    counts = np.zeros((len(groups), len(genomes)), np.int32)
+    for (grp, gi, *_rest) in records:
+        counts[grp, gi] += 1
+    return PanGenome(genomes=list(genomes), groups=list(groups),
+                     counts=counts, records=records)
+
+
+def write_matrix(pan: PanGenome, path_rtab: str) -> None:
+    order = np.argsort(np.asarray(pan.groups, dtype=object))
+    with open(path_rtab, "w") as fh:
+        fh.write("Gene\t" + "\t".join(pan.genomes) + "\n")
+        for g in order:
+            row = "\t".join("1" if c > 0 else "0" for c in pan.counts[g])
+            fh.write(f"{pan.groups[g]}\t{row}\n")
+
+
+def genome_distances(pan: PanGenome) -> np.ndarray:
+    """Jaccard distance between genomes on gene-presence profiles."""
+    pres = pan.counts > 0
+    inter = pres.T.astype(np.int32) @ pres.astype(np.int32)
+    sizes = pres.sum(axis=0)
+    union = sizes[:, None] + sizes[None, :] - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        d = 1.0 - inter / np.maximum(union, 1)
+    np.fill_diagonal(d, 0.0)
+    return d.astype(np.float32)
+
+
+def pan_tree(pan: PanGenome, path: str) -> str:
+    """NJ tree over genome presence/absence distances -> Newick file."""
+    n = len(pan.genomes)
+    if n < 2:
+        nwk = f"({pan.genomes[0] if pan.genomes else ''});"
+    else:
+        d = genome_distances(pan)
+        res = nj.nj_batched(jnp.asarray(d[None]),
+                            jnp.asarray([n], np.int32), n_max=n)
+        nwk = nj.to_newick(np.asarray(res["parent"][0]),
+                           np.asarray(res["blen"][0]),
+                           np.asarray(res["child_l"][0]),
+                           np.asarray(res["child_r"][0]),
+                           int(res["root"][0]), pan.genomes)
+    with open(path, "w") as fh:
+        fh.write(nwk + "\n")
+    return nwk
+
+
+def core_alignment(pan: PanGenome, gff_paths: list, out_fasta: str,
+                   out_snps: str, *, core_frac: float = 0.95,
+                   gap_open: int = 5, gap_extend: int = 2) -> tuple:
+    """Reference-projected core-genome alignment + SNP matrix.
+
+    For each group present in >= core_frac of genomes with exactly one copy
+    per genome: project every genome's allele onto the coordinates of the
+    first genome's allele (the column reference).  Indel-free alleles of
+    equal length compare directly; others go through the traceback.
+    Missing genomes get gap columns.  Returns (n_core_groups, n_snp_sites).
+    """
+    raws = {rg.name: rg for rg in (read_gff(p) for p in gff_paths)}
+    # region sequence fetch per record
+    submat = alphabet.dna_score_matrix()
+    n_gen = len(pan.genomes)
+    pres = pan.counts
+    core = [g for g in range(len(pan.groups))
+            if (pres[g] == 1).sum() >= core_frac * n_gen
+            and (pres[g] <= 1).all()]
+    core.sort(key=lambda g: pan.groups[g])
+
+    by_group: dict = {g: {} for g in core}
+    for (grp, gi, cname, s, e, strand, status) in pan.records:
+        if grp in by_group and status == "CDS":
+            rg = raws.get(pan.genomes[gi])
+            if rg is None or cname not in rg.contigs:
+                continue
+            seq = rg.contigs[cname][s - 1:e]
+            if strand < 0:
+                seq = alphabet.revcomp(seq)
+            by_group[grp][gi] = seq
+
+    rows = {gi: [] for gi in range(n_gen)}
+    n_core_used = 0
+    for g in core:
+        alleles = by_group[g]
+        if not alleles:
+            continue
+        ref_gi = min(alleles)
+        ref = alleles[ref_gi]
+        L = len(ref)
+        n_core_used += 1
+        for gi in range(n_gen):
+            seq = alleles.get(gi)
+            if seq is None:
+                rows[gi].append(np.full(L, 5, np.int8))   # gap '-'
+            elif len(seq) == L:
+                rows[gi].append(seq)                      # fast path
+            else:
+                hit, cigar = sw_oracle.sw_traceback(
+                    seq, ref, submat, gap_open, gap_extend)
+                proj = np.full(L, 5, np.int8)
+                qi, ti = hit.qstart, hit.tstart
+                for op, ln in cigar:
+                    if op == "M":
+                        proj[ti:ti + ln] = seq[qi:qi + ln]
+                        qi += ln
+                        ti += ln
+                    elif op == "I":   # insertion in allele: not projectable
+                        qi += ln
+                    else:             # deletion: gaps in allele
+                        ti += ln
+                rows[gi].append(proj)
+
+    aln = {gi: (np.concatenate(rows[gi]) if rows[gi]
+                else np.zeros(0, np.int8)) for gi in range(n_gen)}
+    with open(out_fasta, "w") as fh:
+        for gi, name in enumerate(pan.genomes):
+            fh.write(f">{name}\n")
+            s = alphabet.decode_dna(aln[gi])
+            for i in range(0, len(s), 80):
+                fh.write(s[i:i + 80] + "\n")
+
+    # SNP sites: columns with >= 2 distinct real bases
+    mat = np.stack([aln[gi] for gi in range(n_gen)]) if n_gen else \
+        np.zeros((0, 0), np.int8)
+    n_snps = 0
+    with open(out_snps, "w") as fh:
+        fh.write("#site\t" + "\t".join(pan.genomes) + "\n")
+        if mat.size:
+            real = mat < 4
+            for col in range(mat.shape[1]):
+                vals = mat[real[:, col], col]
+                if len(np.unique(vals)) >= 2:
+                    n_snps += 1
+                    fh.write(f"{col + 1}\t" + "\t".join(
+                        alphabet.decode_dna(np.array([b]))
+                        for b in mat[:, col]) + "\n")
+    return n_core_used, n_snps
+
+
+def rarefaction(pan: PanGenome, path: str, *, n_perm: int = 100,
+                seed: int = 42) -> np.ndarray:
+    """Gene accumulation curve: mean pan/core size over random orderings."""
+    rng = np.random.default_rng(seed)
+    pres = pan.counts > 0
+    n_grp, n_gen = pres.shape
+    pan_curve = np.zeros((n_perm, n_gen), np.int64)
+    core_curve = np.zeros((n_perm, n_gen), np.int64)
+    for p in range(n_perm):
+        order = rng.permutation(n_gen)
+        seen = np.zeros(n_grp, dtype=bool)
+        inall = np.ones(n_grp, dtype=bool)
+        for k, gi in enumerate(order):
+            seen |= pres[:, gi]
+            inall &= pres[:, gi]
+            pan_curve[p, k] = seen.sum()
+            core_curve[p, k] = inall.sum()
+    with open(path, "w") as fh:
+        fh.write("n_genomes\tpan_mean\tpan_sd\tcore_mean\tcore_sd\n")
+        for k in range(n_gen):
+            fh.write(f"{k + 1}\t{pan_curve[:, k].mean():.2f}\t"
+                     f"{pan_curve[:, k].std():.2f}\t"
+                     f"{core_curve[:, k].mean():.2f}\t"
+                     f"{core_curve[:, k].std():.2f}\n")
+    return pan_curve

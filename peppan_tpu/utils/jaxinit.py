@@ -20,6 +20,15 @@ def setup_cache(path: str | None = None) -> None:
         return
     import jax
 
+    # the machine's sitecustomize pins jax_platforms to the axon plugin;
+    # let an explicit JAX_PLATFORMS env var win (e.g. CPU test runs)
+    env_pf = os.environ.get("JAX_PLATFORMS")
+    if env_pf:
+        try:
+            jax.config.update("jax_platforms", env_pf)
+        except Exception:
+            pass
+
     # only worth it (and only safe) for the tunnelled TPU backend: CPU AOT
     # entries written under different XLA flags SIGILL-warn on reload
     if jax.default_backend() in ("cpu",):

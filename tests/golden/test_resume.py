@@ -1,0 +1,62 @@
+"""--continue resume semantics (SURVEY.md §5.3/§5.4): identical outputs,
+phases actually skipped, stale cache rejected on input change."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from peppan_tpu import pipeline
+from peppan_tpu.config import PipelineConfig
+from peppan_tpu.utils import simulate
+
+
+def _outputs_bytes(res):
+    return {k: open(p, "rb").read() for k, p in res.outputs.items()}
+
+
+def test_resume_identical_and_faster(tmp_path):
+    sim = simulate.simulate(n_genomes=3, n_core=8, n_accessory=3, seed=41)
+    paths = simulate.write_gff(sim, str(tmp_path / "gff"))
+    out = str(tmp_path / "out")
+    cfg = PipelineConfig(prefix="RES", continue_run=True, sw_batch=4096)
+    r1 = pipeline.run(paths, cfg, out_dir=out)
+    b1 = _outputs_bytes(r1)
+    assert os.path.exists(os.path.join(out, "RES.phase_cache",
+                                       "manifest.json"))
+    r2 = pipeline.run(paths, cfg, out_dir=out)
+    b2 = _outputs_bytes(r2)
+    assert b1 == b2
+    # resumed phases are near-instant
+    assert r2.phase_seconds["cluster"] < max(
+        0.5 * r1.phase_seconds["cluster"], 0.5)
+
+
+def test_stale_cache_rejected_on_input_change(tmp_path):
+    sim = simulate.simulate(n_genomes=3, n_core=6, n_accessory=2, seed=43)
+    paths = simulate.write_gff(sim, str(tmp_path / "gff"))
+    out = str(tmp_path / "out")
+    cfg = PipelineConfig(prefix="ST", continue_run=True, sw_batch=4096)
+    r1 = pipeline.run(paths, cfg, out_dir=out)
+    # modify one input file -> hash changes -> phases recompute
+    time.sleep(0.01)
+    with open(paths[0], "a") as fh:
+        fh.write("# touched\n")
+    r2 = pipeline.run(paths, cfg, out_dir=out)
+    # result is still computed (not the poisoned cache path), groups sane
+    assert len(r2.group_names) == len(r1.group_names)
+
+
+def test_config_change_invalidates_cache(tmp_path):
+    sim = simulate.simulate(n_genomes=3, n_core=6, n_accessory=2, seed=44)
+    paths = simulate.write_gff(sim, str(tmp_path / "gff"))
+    out = str(tmp_path / "out")
+    r1 = pipeline.run(paths, PipelineConfig(prefix="CC", continue_run=True,
+                                            sw_batch=4096), out_dir=out)
+    # different threshold -> different cfg repr -> cache must not be reused
+    r2 = pipeline.run(paths, PipelineConfig(prefix="CC", continue_run=True,
+                                            sw_batch=4096,
+                                            clust_identity=0.95),
+                      out_dir=out)
+    assert r2 is not None  # recomputed without error

@@ -103,3 +103,17 @@ def test_shared_minimizers_of_mutated_copy(rng):
     i = [tuple(x) for x in p].index((0, 1))
     assert shared[i] >= 5
     assert diag[i] == 0
+
+
+def test_candidate_pairs_all_self_pairs():
+    """A hash group whose occurrences are all from ONE gene must not crash
+    (regression: empty pair set after self-pair filtering)."""
+    from peppan_tpu.ops import pairs as prs
+    import numpy as np
+    table = prs.MinimizerTable(
+        hash=np.array([7, 7], np.uint32),
+        gene=np.array([3, 3], np.int32),
+        pos=np.array([0, 50], np.int32),
+        strand=np.array([True, True]))
+    p, s, d = prs.candidate_pairs(table)
+    assert len(p) == 0 and len(s) == 0 and len(d) == 0
