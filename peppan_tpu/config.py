@@ -28,6 +28,7 @@ class PipelineConfig:
     match_prop: float = 0.5             # --match_prop : min aligned fraction
     match_frag_len: int = 50            # --match_frag_len : min fragment bp
     nucl_only: bool = False             # --nucl : skip protein-level search
+    protein_identity: float = 0.35      # AA identity floor (diamond stage)
 
     # --- paralog splitting (phase 6) ---
     allowed_sigma: float = 3.0          # --allowed_sigma : divergence sigmas

@@ -117,3 +117,57 @@ def sketch_batch(tokens: np.ndarray, k: int = 15, w: int = 10) -> tuple:
     h, s = kmer_hashes(jnp.asarray(tokens), k)
     f = minimizer_flags(h, w)
     return np.asarray(h), np.asarray(s), np.asarray(f)
+
+
+# --- protein (reduced-alphabet) sketching ------------------------------------
+# Murphy-10 reduction of the 20-letter alphabet: groups statistically
+# exchangeable residues so seeds survive conservative substitutions — the
+# same sensitivity trick as DIAMOND's reduced-alphabet double indexing
+# (SURVEY.md §2.2).  Our AA token order is alphabet.AA_ALPHA
+# ("ACDEFGHIKLMNPQRSTVWY"); X/STOP/PAD map to group 15 (invalid marker).
+
+_MURPHY10_GROUPS = ["LVIM", "C", "A", "G", "ST", "P", "FYW", "EDNQ", "KR",
+                    "H"]
+MURPHY10 = np.full(32, 15, dtype=np.int8)
+for _gi, _grp in enumerate(_MURPHY10_GROUPS):
+    for _c in _grp:
+        MURPHY10["ACDEFGHIKLMNPQRSTVWY".index(_c)] = _gi
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def aa_kmer_hashes(tokens: jax.Array, k: int = 7) -> jax.Array:
+    """Reduced-alphabet protein k-mer hashes (4 bits/residue, k <= 8).
+
+    tokens: int8[P, L] AA tokens.  No reverse-complement canonicalization
+    (proteins are directional).  Positions whose window contains X/STOP/PAD
+    or runs off the row get INVALID_HASH.
+    """
+    if not 1 <= k <= 8:
+        raise ValueError("protein k must be in [1, 8]")
+    P, L = tokens.shape
+    red = jnp.take(jnp.asarray(MURPHY10), jnp.clip(tokens, 0, 31).astype(
+        jnp.int32)).astype(jnp.uint32)
+    bad = red >= 10
+
+    def lshift(a, j, fill):
+        if j == 0:
+            return a
+        return jnp.concatenate(
+            [a[:, j:], jnp.full((P, j), fill, a.dtype)], axis=1)
+
+    packed = jnp.zeros((P, L), jnp.uint32)
+    anybad = jnp.zeros((P, L), dtype=bool)
+    for j in range(k):
+        packed = packed | (lshift(red, j, 0) << np.uint32(4 * (k - 1 - j)))
+        anybad = anybad | lshift(bad, j, True)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (P, L), 1)
+    invalid = anybad | (pos > L - k)
+    h = jnp.minimum(_mix32(packed), np.uint32(0xFFFFFFFE))
+    return jnp.where(invalid, INVALID_HASH, h)
+
+
+def aa_sketch_batch(tokens: np.ndarray, k: int = 7, w: int = 6) -> tuple:
+    """Host convenience: (hashes, flags) for one padded AA batch."""
+    h = aa_kmer_hashes(jnp.asarray(tokens), k)
+    f = minimizer_flags(h, w)
+    return np.asarray(h), np.asarray(f)

@@ -101,10 +101,11 @@ def _shl(v: jax.Array, fill) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("scorer", "gap_open",
                                              "gap_extend", "band", "c0",
-                                             "with_stats"))
+                                             "with_stats", "n_real_tokens"))
 def sw_banded(q: jax.Array, t: jax.Array, *, scorer: Callable,
               gap_open: int = 5, gap_extend: int = 2, band: int = 128,
-              c0: int = 0, with_stats: bool = True) -> dict:
+              c0: int = 0, with_stats: bool = True,
+              n_real_tokens: int = 4) -> dict:
     """Batched banded local alignment.
 
     q: int8[P, Mq]  queries, padded with the alphabet's PAD token (>= 5)
@@ -177,7 +178,10 @@ def sw_banded(q: jax.Array, t: jax.Array, *, scorer: Callable,
         i0r = i0p - PADL
         ivec = i0r + lanes                 # (1, B) query row per lane
         jvec = d - ivec
-        is_match = ((qs == ts) & (qs < 4) & (ts < 4)).astype(jnp.int32)
+        # identical-token count; n_real_tokens = 4 for DNA (N never
+        # matches), 20 for protein (X/STOP never match)
+        is_match = ((qs == ts) & (qs < n_real_tokens)
+                    & (ts < n_real_tokens)).astype(jnp.int32)
 
         if parity == 0:
             SH_up, SH_left = SH1, [_shl(x, 0) for x in SH1]

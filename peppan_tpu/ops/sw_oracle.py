@@ -19,11 +19,12 @@ Semantics fixed here, shared by every implementation in the framework:
   anti-diagonal-major order (d = i + j ascending, then i ascending) — the
   device kernel's natural scan order.
 - Band: cell (i, j) is allowed iff i in [i0(d), i0(d) + band) where
-  d = i + j and i0(d) = clip((d - c0)//2 - band//2, 0, max(0, m - band)).
-  This is exactly the lane geometry of the wavefront kernel.
-- Matches count aligned columns with equal tokens, both < 4 (real bases; N
-  never counts as a match).  aln_len counts all alignment columns including
-  gap columns.  Coordinates are 0-based inclusive.
+  d = i + j and i0(d) = (d - c0)//2 - band//2, UNCLIPPED — exactly the lane
+  geometry of the wavefront kernel (offsets j - i in (c0-band, c0+band]).
+- Matches count aligned columns with equal tokens, both < n_real_tokens
+  (4 for DNA: N never matches; 20 for protein: X/STOP never match).
+  aln_len counts all alignment columns including gap columns.
+  Coordinates are 0-based inclusive.
 """
 
 from __future__ import annotations
@@ -58,7 +59,7 @@ def band_i0(d: int, band: int, c0: int) -> int:
 
 def sw_banded_ref(q: np.ndarray, t: np.ndarray, submat: np.ndarray,
                   gap_open: int, gap_extend: int, band: int = 1 << 30,
-                  c0: int = 0) -> SwHit:
+                  c0: int = 0, n_real_tokens: int = 4) -> SwHit:
     """Reference banded local alignment. O(m*n) python loops — tests only."""
     m, n = len(q), len(t)
     H = np.zeros((m + 1, n + 1), dtype=np.int64)
@@ -109,7 +110,8 @@ def sw_banded_ref(q: np.ndarray, t: np.ndarray, submat: np.ndarray,
                 SH[i, j] = (0, 0, i, j)
             elif dv == hv:
                 st = SH[i - 1, j - 1].copy()
-                st[0] += 1 if (q[i1] == t[j1] and q[i1] < 4 and t[j1] < 4) else 0
+                st[0] += 1 if (q[i1] == t[j1] and q[i1] < n_real_tokens
+                               and t[j1] < n_real_tokens) else 0
                 st[1] += 1
                 SH[i, j] = st
             elif E[i, j] == hv:
@@ -125,7 +127,8 @@ def sw_banded_ref(q: np.ndarray, t: np.ndarray, submat: np.ndarray,
 
 
 def sw_traceback(q: np.ndarray, t: np.ndarray, submat: np.ndarray,
-                 gap_open: int, gap_extend: int) -> tuple:
+                 gap_open: int, gap_extend: int,
+                 n_real_tokens: int = 4) -> tuple:
     """Full-matrix local alignment with traceback.
 
     Returns (SwHit, cigar) where cigar is a list of (op, length) with op in
@@ -190,7 +193,8 @@ def sw_traceback(q: np.ndarray, t: np.ndarray, submat: np.ndarray,
                 break
             if c == 1:
                 push("M")
-                if q[i - 1] == t[j - 1] and q[i - 1] < 4 and t[j - 1] < 4:
+                if (q[i - 1] == t[j - 1] and q[i - 1] < n_real_tokens
+                        and t[j - 1] < n_real_tokens):
                     matches += 1
                 i, j = i - 1, j - 1
             elif c == 2:

@@ -30,7 +30,7 @@ from .cluster.unionfind import connected_components
 from .config import PipelineConfig
 from .io import gff, writers
 from .io.tokens import GeneStore, GenomeStore
-from .ops import genome_map, pairs as prs
+from .ops import genome_map, pairs as prs, protein
 from .utils import manifest, metrics
 
 log = logging.getLogger("peppan_tpu")
@@ -63,6 +63,15 @@ def _similarity_groups(store: GeneStore, clusters: linclust.ClusterResult,
             & (np.maximum(hits.qcov, hits.tcov) >= cfg.match_prop))
     # map subset indices back to gene ids
     edges = ex_ids[hits.pairs[keep]]
+    if not cfg.nucl_only:
+        # DIAMOND-equivalent protein pass: homologs whose DNA identity has
+        # decayed below match_identity but whose proteins still align
+        aa_edges = protein.protein_similar_pairs(
+            store, ex_ids, gtable=cfg.gtable,
+            min_identity=cfg.protein_identity, min_cov=cfg.match_prop,
+            max_group=cfg.max_minimizer_group, batch=cfg.sw_batch)
+        if len(aa_edges):
+            edges = np.concatenate([edges, aa_edges])
     comp = connected_components(store.n_genes, edges)
     return comp[clusters.exemplar]
 

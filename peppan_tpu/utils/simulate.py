@@ -59,6 +59,25 @@ def _mutate(rng: np.random.Generator, gene: np.ndarray, divergence: float) -> np
     return g
 
 
+def synonymous_recode(rng: np.random.Generator, gene: np.ndarray,
+                      table_id: int = 11) -> np.ndarray:
+    """Recode every codon to a random synonymous codon (AA identity 1.0,
+    DNA identity typically ~0.6-0.75) — exercises the protein-level search
+    path where nucleotide homology has decayed."""
+    code = alphabet.genetic_code_table(table_id)
+    by_aa: dict = {}
+    for c in range(64):
+        by_aa.setdefault(int(code[c]), []).append(c)
+    cod = gene.reshape(-1, 3).copy()
+    for i in range(1, len(cod) - 1):   # keep start + stop codons
+        cid = 16 * int(cod[i, 0]) + 4 * int(cod[i, 1]) + int(cod[i, 2])
+        aa = int(code[cid])
+        options = by_aa[aa]
+        new = options[int(rng.integers(0, len(options)))]
+        cod[i] = [(new >> 4) & 3, (new >> 2) & 3, new & 3]
+    return cod.reshape(-1).astype(np.int8)
+
+
 @dataclasses.dataclass
 class SimulatedPanGenome:
     genome_names: list          # [n_genomes]
