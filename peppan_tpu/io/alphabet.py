@@ -128,15 +128,17 @@ def translate(tokens: np.ndarray, table_id: int = 11) -> np.ndarray:
 def dna_score_matrix(match: int = 2, mismatch: int = -3) -> np.ndarray:
     """int8[6,6] DNA substitution matrix over our token ids.
 
-    N scores 0 against everything (neither rewards nor penalizes ambiguity);
-    PAD scores a large negative so padded tails can never extend alignments.
-    Defaults (match=2, mismatch=-3) follow megablast-style scoring, which is
-    what PEPPAN's blastn stage effectively uses (SURVEY.md §2.2).
+    Canonical DNA semantics for the whole framework: N scores as a MISMATCH
+    against everything including itself (blastn penalizes ambiguity
+    similarly; this also lets the device scorer be a pure equality test —
+    see ops.sw.dna_scorer).  PAD scores a large negative so padded tails
+    can never extend alignments.  Defaults (match=2, mismatch=-3) follow
+    megablast-style scoring, which is what PEPPAN's blastn stage
+    effectively uses (SURVEY.md §2.2).
     """
     m = np.full((6, 6), mismatch, dtype=np.int8)
     np.fill_diagonal(m, match)
-    m[DNA_N, :] = 0
-    m[:, DNA_N] = 0
+    m[DNA_N, DNA_N] = mismatch     # N never matches, not even itself
     m[DNA_PAD, :] = -100
     m[:, DNA_PAD] = -100
     return m

@@ -213,6 +213,7 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
                 if strand < 0:
                     wt = alphabet.revcomp(wt)
                 td[ri, :len(wt)] = wt[:width]
+            td = sw.prep_target_tokens(td)
             res = sw.sw_banded(qd, td, scorer=scorer, gap_open=gap_open,
                                gap_extend=gap_extend, band=band,
                                with_stats=True)

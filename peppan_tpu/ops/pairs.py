@@ -198,6 +198,7 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
             td = np.full((rows_padded, width), alphabet.DNA_PAD, np.int8)
             qd[:len(sel)] = pad_to_dense(store, qidx[sel], wq)
             td[:len(sel)] = pad_to_dense(store, tidx[sel], width)
+            td = sw.prep_target_tokens(td)
             res = sw.sw_banded(qd, td, scorer=scorer, gap_open=gap_open,
                                gap_extend=gap_extend, band=band,
                                with_stats=True)

@@ -51,18 +51,41 @@ import numpy as np
 NEG = -(10 ** 6)
 
 
+# target-side token remap for the fast equality scorer: N and PAD become
+# values that can never equal any query token (query: A..T=0..3, N=4,
+# PAD=5; target: N->7, PAD->6).
+T_PAD = 6
+T_N = 7
+
+
+def prep_target_tokens(t: np.ndarray) -> np.ndarray:
+    """Remap target-side N/PAD so the equality scorer is sound (in place
+    safe: returns a copy only when a remap is needed)."""
+    if not ((t == 4) | (t == 5)).any():
+        return t
+    out = t.copy()
+    out[out == 5] = T_PAD
+    out[out == 4] = T_N
+    return out
+
+
 @functools.lru_cache(maxsize=None)
 def dna_scorer(match: int = 2, mismatch: int = -3) -> Callable:
-    """Arithmetic DNA substitution scores (no gather): A/C/G/T exact match
-    scores `match`, mismatch `mismatch`, any N involvement 0, any PAD -100.
-    Must agree with io.alphabet.dna_score_matrix."""
+    """DNA substitution scores as a PURE EQUALITY TEST (2 vector ops/cell).
+
+    Requires the caller convention: query tokens in {0..3 bases, 4 N,
+    5 PAD}; target tokens in {0..3 bases, 7 N, 6 PAD} (prep_target_tokens).
+    Then qc == tc exactly when both are the same real base, so
+        s = match if equal else mismatch
+    reproduces io.alphabet.dna_score_matrix semantics (N = mismatch) for
+    all real cells.  PAD cells score `mismatch` instead of -100 — safe for
+    END-padded sequences: padding is a suffix on each side, so a path
+    entering padding can never return to real cells, and a negative-scoring
+    excursion never improves a local-alignment maximum.
+    """
 
     def scorer(qc: jax.Array, tc: jax.Array) -> jax.Array:
-        is_pad = (qc >= 5) | (tc >= 5)
-        is_n = (qc == 4) | (tc == 4)
-        s = jnp.where(qc == tc, match, mismatch)
-        s = jnp.where(is_n, 0, s)
-        return jnp.where(is_pad, -100, s).astype(jnp.int32)
+        return jnp.where(qc == tc, match, mismatch).astype(jnp.int32)
 
     return scorer
 
@@ -137,12 +160,14 @@ def sw_banded(q: jax.Array, t: jax.Array, *, scorer: Callable,
 
     # reversed targets; per half-step lane l reads t[j], j = d - i0_real - l,
     # i.e. trev index  Mt - 1 - d + i0_real + l  (+PADT)
+    # target-side internal padding uses T_PAD (6) so the equality scorer
+    # can never "match" a query pad (5) against a target pad
     trev = jnp.flip(t.astype(jnp.int32), axis=1)
     x0_of = lambda d: Mt - 1 - d + ((d - c0) // 2 - B // 2)  # noqa: E731
     PADT = max(0, -x0_of(2 * K - 1))
     wt_need = max(x0_of(0) + PADT + B + 1, Mt)
     trev = jnp.pad(trev, ((0, 0), (PADT, max(0, wt_need - Mt - PADT))),
-                   constant_values=5)
+                   constant_values=T_PAD)
 
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
 

@@ -42,6 +42,8 @@ def dense_tile_fn(qb: jax.Array, tb: jax.Array, *, band: int,
                   gap_open: int, gap_extend: int) -> jax.Array:
     """Local tile: score every query row against every target row."""
     bq, bt = qb.shape[0], tb.shape[0]
+    # target-side N/PAD remap for the equality scorer (once per tile)
+    tb = jnp.where(tb == 5, sw.T_PAD, jnp.where(tb == 4, sw.T_N, tb))
     qq, tt = _cross_pairs(qb, tb)
     res = sw.sw_banded(qq, tt, scorer=sw.dna_scorer(), gap_open=gap_open,
                        gap_extend=gap_extend, band=band, with_stats=False)
@@ -96,6 +98,8 @@ class PairAligner:
         def _align(tokens, qidx, tidx):
             qd = jnp.take(tokens, qidx, axis=0)
             td = jnp.take(tokens, tidx, axis=0)
+            td = jnp.where(td == 5, sw.T_PAD,
+                           jnp.where(td == 4, sw.T_N, td))
             return sw.sw_banded(qd, td, scorer=sw.dna_scorer(),
                                 gap_open=gap_open, gap_extend=gap_extend,
                                 band=band, with_stats=with_stats)

@@ -42,7 +42,8 @@ def test_dense_tile_matches_single_device(rng):
     # oracle: pairwise single-device kernel
     for i in range(nq):
         qq = np.broadcast_to(q[i], (nt, w))
-        ref = sw.sw_banded(qq, t, scorer=sw.dna_scorer(), band=64,
+        ref = sw.sw_banded(qq, sw.prep_target_tokens(t),
+                           scorer=sw.dna_scorer(), band=64,
                            with_stats=False)
         assert np.array_equal(scores[i], np.asarray(ref["score"])), i
     assert np.array_equal(np.asarray(res["best"]), scores.max(axis=1))
@@ -59,7 +60,7 @@ def test_pair_aligner_matches_direct(rng):
     tidx = rng.integers(0, n, size=13).astype(np.int32)
     aligner = allvsall.PairAligner(m, tokens, band=64)
     res = aligner(qidx, tidx)
-    ref = sw.sw_banded(tokens[qidx], tokens[tidx], scorer=sw.dna_scorer(),
-                       band=64, with_stats=True)
+    ref = sw.sw_banded(tokens[qidx], sw.prep_target_tokens(tokens[tidx]),
+                       scorer=sw.dna_scorer(), band=64, with_stats=True)
     for k in res:
         assert np.array_equal(res[k], np.asarray(ref[k])), k

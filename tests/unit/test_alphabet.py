@@ -73,7 +73,8 @@ def test_blosum62_symmetric_and_known():
 def test_dna_score_matrix():
     m = ab.dna_score_matrix()
     assert m[0, 0] == 2 and m[0, 1] == -3
-    assert (m[ab.DNA_N, :4] == 0).all()
+    # canonical semantics: N is always a mismatch, even vs itself
+    assert (m[ab.DNA_N, :5] == -3).all()
     assert m[ab.DNA_PAD, 0] == -100
 
 

@@ -38,7 +38,7 @@ def _pad(seqs, width):
 
 def _run_both(qs, ts, band, width_q, width_t, with_stats=True):
     qp = _pad(qs, width_q)
-    tp = _pad(ts, width_t)
+    tp = sw.prep_target_tokens(_pad(ts, width_t))
     res = sw.sw_banded(qp, tp, scorer=sw.dna_scorer(), gap_open=GO,
                        gap_extend=GE, band=band, with_stats=with_stats)
     res = {k: np.asarray(v) for k, v in res.items()}
@@ -175,7 +175,7 @@ def test_c0_seed_diagonal(rng):
     q = rng.integers(0, 4, size=100).astype(np.int8)
     t = np.concatenate([rng.integers(0, 4, size=200).astype(np.int8), q])
     qp = _pad([q], 128)
-    tp = _pad([t], 384)
+    tp = sw.prep_target_tokens(_pad([t], 384))
     hit_c0 = sw_oracle.sw_banded_ref(q, t, DNA_SUB, GO, GE, band=32, c0=200)
     res = sw.sw_banded(qp, tp, scorer=sw.dna_scorer(), gap_open=GO,
                        gap_extend=GE, band=32, c0=200, with_stats=True)
@@ -190,3 +190,13 @@ def test_odd_c0_rejected(rng):
     qp = _pad([rng.integers(0, 4, 50).astype(np.int8)], 64)
     with pytest.raises(ValueError):
         sw.sw_banded(qp, qp, scorer=sw.dna_scorer(), band=32, c0=3)
+
+
+def test_n_tokens_score_as_mismatch(rng):
+    # q with N region vs its clean copy: N columns are mismatches
+    q = rng.integers(0, 4, size=60).astype(np.int8)
+    t = q.copy()
+    q[20:25] = ab.DNA_N
+    res, hits = _run_both([q], [t], band=32, width_q=64, width_t=64)
+    _assert_equal(res, hits)
+    assert res["matches"][0] <= 55
