@@ -1,0 +1,93 @@
+"""Benchmark ladder — the BASELINE.json config ladder on simulated data.
+
+Configs (BASELINE.json:6-12; real datasets are unavailable in this
+environment, so SimPan-like simulations stand in at matched scale):
+  L0:    4 genomes  (examples-scale, full pipeline)
+  L1:   20 genomes  (single-chip all-vs-all + clustering)
+  L2:  100 genomes  (sharded-matrix scale; single chip here, the mesh
+                     path is validated separately by dryrun_multichip)
+
+Reports per config: phase wall-clocks, total genes, pairs aligned,
+DP lane-cell updates and effective GCUPS, and pipeline genes/second.
+Usage:  python benchmarks/ladder.py [--configs 4 20 100] [--json out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def run_config(n_genomes: int, *, seed: int = 1000) -> dict:
+    from peppan_tpu import pipeline
+    from peppan_tpu.config import PipelineConfig
+    from peppan_tpu.utils import metrics, simulate
+
+    # scale gene counts with genome count held per-genome realistic-ish
+    # (~2000 core-ish genes would be slow to simulate; use 300/genome)
+    sim = simulate.simulate(
+        n_genomes=n_genomes, n_core=200, n_accessory=120,
+        accessory_freq=0.4, mean_gene_codons=300, divergence=0.02,
+        paralog_families=5, seed=seed)
+    tmp = tempfile.mkdtemp(prefix=f"ladder{n_genomes}_")
+    paths = simulate.write_gff(sim, tmp)
+
+    metrics.reset()
+    t0 = time.time()
+    res = pipeline.run(paths, PipelineConfig(prefix=f"L{n_genomes}",
+                                             sw_batch=1024),
+                       out_dir=tmp)
+    wall = time.time() - t0
+    counters = metrics.snapshot()
+    cells = counters.get("sw_lane_cells", 0)
+    sw_seconds = (res.phase_seconds.get("cluster", 0)
+                  + res.phase_seconds.get("similar_pairs", 0)
+                  + res.phase_seconds.get("genome_map", 0))
+    return {
+        "config": f"{n_genomes}_genomes",
+        "n_genes": int(res.gene_store.n_genes),
+        "n_groups": int(len(np.unique(res.group_of_gene))),
+        "n_regions": int(len(res.regions)),
+        "wall_seconds": round(wall, 2),
+        "phase_seconds": {k: round(v, 2)
+                          for k, v in res.phase_seconds.items()},
+        "pairs_aligned": int(counters.get("sw_pairs", 0)
+                             + counters.get("sw_pairs_protein", 0)),
+        "map_windows": int(counters.get("map_windows", 0)),
+        "lane_cell_updates": int(cells),
+        "gcups_effective": round(cells / max(sw_seconds, 1e-9) / 1e9, 2),
+        "genes_per_second": round(res.gene_store.n_genes / wall, 1),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", nargs="*", type=int, default=[4, 20])
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    from peppan_tpu.utils import jaxinit
+    jaxinit.setup_cache()
+
+    out = []
+    for n in args.configs:
+        print(f"=== config: {n} genomes ===", flush=True)
+        r = run_config(n)
+        out.append(r)
+        print(json.dumps(r, indent=1), flush=True)
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump(out, fh, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
