@@ -26,6 +26,7 @@ from typing import Iterable
 import numpy as np
 
 from . import alphabet
+from . import native
 from .tokens import GeneStore, GenomeStore
 
 _ATTR_ID = re.compile(r"(?:^|;)\s*ID=([^;]+)")
@@ -63,9 +64,21 @@ def _parse_fasta_lines(lines: Iterable[str]) -> dict:
     return contigs
 
 
+def _parse_fasta_bytes(buf: bytes) -> dict:
+    """FASTA bytes -> {name: tokens}; native fast path, Python fallback."""
+    res = native.fasta_tokenize(buf)
+    if res is not None:
+        return {name: res["tokens"][res["offsets"][i]:res["offsets"][i + 1]]
+                for i, name in enumerate(res["names"])}
+    return _parse_fasta_lines(buf.decode("ascii", "replace").splitlines())
+
+
 def read_fasta(path: str) -> dict:
-    with _open(path) as fh:
-        return _parse_fasta_lines(fh)
+    if path.endswith(".gz"):
+        with gzip.open(path, "rb") as fh:
+            return _parse_fasta_bytes(fh.read())
+    with open(path, "rb") as fh:
+        return _parse_fasta_bytes(fh.read())
 
 
 def read_gff(path: str, genome_name: str | None = None,
@@ -79,31 +92,36 @@ def read_gff(path: str, genome_name: str | None = None,
                 base = base[: -len(suf)]
         name = base
 
-    features: list = []
-    fasta_lines: list = []
-    in_fasta = False
-    with _open(path) as fh:
-        for line in fh:
-            if in_fasta:
-                fasta_lines.append(line)
-                continue
-            if line.startswith("##FASTA"):
-                in_fasta = True
-                continue
-            if not line.strip() or line.startswith("#"):
-                continue
-            parts = line.rstrip("\n").split("\t")
-            if len(parts) < 9:
-                continue
-            seqid, _src, ftype, start, end, _score, strand, _frame, attrs = parts[:9]
-            if ftype not in feature_types:
-                continue
-            m = _ATTR_ID.search(attrs) or _ATTR_NAME.search(attrs)
-            fid = m.group(1) if m else f"{name}_{len(features):05d}"
-            features.append((seqid, int(start), int(end),
-                             1 if strand != "-" else -1, fid))
+    if path.endswith(".gz"):
+        with gzip.open(path, "rb") as fh:
+            raw = fh.read()
+    else:
+        with open(path, "rb") as fh:
+            raw = fh.read()
+    # split the (small) feature section from the (large) FASTA tail so the
+    # FASTA bytes can go straight to the native tokenizer
+    idx = raw.find(b"##FASTA")
+    if idx >= 0:
+        head, fasta_buf = raw[:idx], raw[raw.find(b"\n", idx) + 1:]
+    else:
+        head, fasta_buf = raw, b""
 
-    contigs = _parse_fasta_lines(fasta_lines) if fasta_lines else {}
+    features: list = []
+    for line in head.decode("ascii", "replace").splitlines():
+        if not line.strip() or line.startswith("#"):
+            continue
+        parts = line.split("\t")
+        if len(parts) < 9:
+            continue
+        seqid, _src, ftype, start, end, _score, strand, _frame, attrs = parts[:9]
+        if ftype not in feature_types:
+            continue
+        m = _ATTR_ID.search(attrs) or _ATTR_NAME.search(attrs)
+        fid = m.group(1) if m else f"{name}_{len(features):05d}"
+        features.append((seqid, int(start), int(end),
+                         1 if strand != "-" else -1, fid))
+
+    contigs = _parse_fasta_bytes(fasta_buf) if fasta_buf else {}
     if not contigs:
         # adjacent FASTA: foo.gff -> foo.fna / foo.fasta / foo.fa (opt. .gz)
         stem = re.sub(r"\.gz$", "", path)
