@@ -24,6 +24,8 @@ def _pan_parser(sub):
     p.add_argument("-o", "--out_dir", default=".")
     p.add_argument("-t", "--n_thread", type=int, default=None,
                    help="accepted for PEPPA compatibility; ignored")
+    p.add_argument("-P", "--priority", nargs="*", default=[],
+                   help="genome names whose annotations are trusted first")
     p.add_argument("--min_cds", type=int, default=120)
     p.add_argument("--incompleteCDS", action="store_true")
     p.add_argument("--gtable", type=int, default=11)
@@ -84,7 +86,8 @@ def main(argv=None) -> int:
         from .config import PipelineConfig
 
         cfg = PipelineConfig(
-            prefix=args.prefix, min_cds=args.min_cds,
+            prefix=args.prefix, priority=tuple(args.priority),
+            min_cds=args.min_cds,
             incomplete_cds=args.incompleteCDS, gtable=args.gtable,
             clust_identity=args.clust_identity,
             clust_match_prop=args.clust_match_prop,

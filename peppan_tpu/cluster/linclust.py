@@ -39,34 +39,72 @@ class ClusterResult:
         return len(self.exemplar_ids)
 
 
+def exact_duplicate_groups(store: GeneStore) -> np.ndarray:
+    """int64[n]: for each gene, the smallest gene index with byte-identical
+    sequence.  PEPPAN dedups identical pooled genes before clustering
+    (PEPPA.py::addGenes per SURVEY.md §2.1) — at thousands of genomes most
+    core genes collapse here, shrinking every downstream phase."""
+    n = store.n_genes
+    first_of: dict = {}
+    rep = np.empty(n, dtype=np.int64)
+    for g in range(n):
+        key = store.gene_tokens(g).tobytes()
+        rep[g] = first_of.setdefault(key, g)
+    return rep
+
+
 def cluster_genes(store: GeneStore, *, identity: float = 0.9,
                   coverage: float = 0.9, k: int = 13, w: int = 8,
                   band: int = 128, max_group: int = 64,
-                  batch: int = 256) -> ClusterResult:
+                  batch: int = 256,
+                  genome_priority: np.ndarray | None = None) -> ClusterResult:
     """Cluster pooled genes at high identity; choose exemplars.
 
     identity / coverage mirror PEPPAN's --clust_identity / --clust_match_prop
     (defaults per SURVEY.md §5.6; exact reference defaults TO-VERIFY once the
     mount is populated).  Coverage is required of BOTH sequences, matching
     mmseqs cov-mode 0.
+
+    genome_priority: optional int rank per genome (lower = more trusted,
+    PEPPAN's --priority); exemplars prefer trusted annotations, then
+    length, then smallest index.
     """
     n = store.n_genes
-    table = prs.build_minimizer_table(store, k=k, w=w)
+    # stage 0: collapse byte-identical sequences; only representatives go
+    # through sketch + alignment, duplicates inherit their cluster
+    dup_rep = exact_duplicate_groups(store)
+    uniq_ids = np.flatnonzero(dup_rep == np.arange(n))
+    sub = store.subset(uniq_ids)
+
+    table = prs.build_minimizer_table(sub, k=k, w=w)
     cand, _shared, _diag = prs.candidate_pairs(table, max_group=max_group)
-    hits = prs.verify_pairs(store, cand, band=band, batch=batch)
+    hits = prs.verify_pairs(sub, cand, band=band, batch=batch)
     keep = ((hits.identity >= identity) & (hits.qcov >= coverage)
             & (hits.tcov >= coverage))
-    edges = hits.pairs[keep]
+    # lift subset edges back to global ids, plus duplicate edges
+    edges_u = uniq_ids[hits.pairs[keep]]
+    dup_edges = np.stack([np.arange(n), dup_rep], axis=1)
+    edges = np.concatenate([edges_u, dup_edges[dup_edges[:, 0]
+                                               != dup_edges[:, 1]]])
     root = connected_components(n, edges)
 
-    # exemplar per cluster: longest member, ties -> smallest gene index
+    # exemplar per cluster: (annotation priority, longest, smallest index)
+    if genome_priority is not None:
+        prio = np.asarray(genome_priority)[store.genome]
+    else:
+        prio = np.zeros(n, dtype=np.int64)
+    order = np.lexsort((np.arange(n), -store.length.astype(np.int64), prio))
     exemplar_of_root: dict = {}
-    order = np.lexsort((np.arange(n), -store.length.astype(np.int64)))
     for g in order:
         r = root[g]
         if r not in exemplar_of_root:
             exemplar_of_root[r] = int(g)
     exemplar = np.array([exemplar_of_root[r] for r in root], dtype=np.int64)
     exemplar_ids = np.unique(exemplar)
+    # hits carry subset-local pair ids; translate to global for consumers
+    hits = prs.PairHits(
+        pairs=uniq_ids[hits.pairs].astype(np.int32), score=hits.score,
+        identity=hits.identity, qcov=hits.qcov, tcov=hits.tcov,
+        matches=hits.matches, aln_len=hits.aln_len)
     return ClusterResult(root=root, exemplar=exemplar,
                          exemplar_ids=exemplar_ids, hits=hits)

@@ -15,6 +15,8 @@ import dataclasses
 class PipelineConfig:
     # --- io ---
     prefix: str = "PEPPAN_TPU"          # --prefix/-p : output file prefix
+    priority: tuple = ()                # --priority : genome names whose
+    #                                     annotations are trusted first
     min_cds: int = 120                  # --min_cds : drop shorter CDS (bp)
     incomplete_cds: bool = False        # --incompleteCDS : keep broken CDS
     gtable: int = 11                    # --gtable : NCBI translation table

@@ -145,9 +145,16 @@ def bucket_of(lengths: np.ndarray, buckets: np.ndarray) -> np.ndarray:
 
 def pad_to_dense(store: GeneStore, idx: np.ndarray, width: int,
                  pad_value: int = alphabet.DNA_PAD) -> np.ndarray:
-    """Gather genes idx into a dense int8[len(idx), width] padded matrix."""
-    out = np.full((len(idx), width), pad_value, dtype=np.int8)
-    for row, i in enumerate(np.asarray(idx)):
-        t = store.gene_tokens(int(i))
-        out[row, :len(t)] = t[:width]
+    """Gather genes idx into a dense int8[len(idx), width] padded matrix.
+    Fully vectorized (one fancy-index gather) — this runs on the host for
+    every device batch, so it must keep up with the TPU."""
+    idx = np.asarray(idx)
+    if len(idx) == 0:
+        return np.full((0, width), pad_value, dtype=np.int8)
+    lengths = np.minimum(store.length[idx], width)
+    pos = np.arange(width)
+    flat = store.offset[idx][:, None] + pos[None, :]
+    np.minimum(flat, max(len(store.tokens) - 1, 0), out=flat)
+    out = store.tokens[flat]
+    out[pos[None, :] >= lengths[:, None]] = pad_value
     return out

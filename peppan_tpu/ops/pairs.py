@@ -92,55 +92,47 @@ def candidate_pairs(table: MinimizerTable, *, max_group: int = 64,
     sorted lexicographically.
     """
     h = table.hash
+    empty = (np.zeros((0, 2), np.int32), np.zeros(0, np.int32),
+             np.zeros(0, np.int32))
     if len(h) == 0:
-        return (np.zeros((0, 2), np.int32), np.zeros(0, np.int32),
-                np.zeros(0, np.int32))
-    # group boundaries over equal hashes
+        return empty
+    # group boundaries over equal hashes (fully vectorized from here on —
+    # this join runs over millions of minimizer occurrences at scale)
+    n = len(h)
     starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
-    ends = np.r_[starts[1:], len(h)]
-    a_list, b_list, d_list = [], [], []
-    for s, e in zip(starts, ends):
-        sz = e - s
-        if sz < 2 or sz > max_group:
-            continue
-        g = table.gene[s:e]
-        p = table.pos[s:e]
-        ii, jj = np.triu_indices(sz, k=1)
-        ga, gb = g[ii], g[jj]
-        pa, pb = p[ii], p[jj]
-        keep = ga != gb
-        swap = ga > gb
-        a = np.where(swap, gb, ga)[keep]
-        b = np.where(swap, ga, gb)[keep]
-        d = np.where(swap, pb - pa, pa - pb)[keep]
-        a_list.append(a)
-        b_list.append(b)
-        d_list.append(d)
-    if not a_list:
-        return (np.zeros((0, 2), np.int32), np.zeros(0, np.int32),
-                np.zeros(0, np.int32))
-    a = np.concatenate(a_list).astype(np.int64)
-    b = np.concatenate(b_list).astype(np.int64)
-    d = np.concatenate(d_list).astype(np.int32)
-    if len(a) == 0:   # every group's pairs were self-pairs
-        return (np.zeros((0, 2), np.int32), np.zeros(0, np.int32),
-                np.zeros(0, np.int32))
+    seg_of = np.cumsum(np.r_[True, h[1:] != h[:-1]]) - 1
+    sizes = np.diff(np.r_[starts, n])
+    valid = (sizes >= 2) & (sizes <= max_group)
+    # each occurrence pairs with every EARLIER occurrence of its group
+    pos_in_grp = np.arange(n) - starts[seg_of]
+    reps = np.where(valid[seg_of], pos_in_grp, 0)
+    total = int(reps.sum())
+    if total == 0:
+        return empty
+    right = np.repeat(np.arange(n), reps)
+    left = (np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps)
+            + np.repeat(starts[seg_of], reps))
+    ga, gb = table.gene[left].astype(np.int64), table.gene[right].astype(np.int64)
+    pa, pb = table.pos[left].astype(np.int64), table.pos[right].astype(np.int64)
+    keep = ga != gb
+    if not keep.any():
+        return empty
+    swap = ga > gb
+    a = np.where(swap, gb, ga)[keep]
+    b = np.where(swap, ga, gb)[keep]
+    d = np.where(swap, pb - pa, pa - pb)[keep].astype(np.int32)
     key = (a << 32) | b
-    order = np.argsort(key, kind="stable")
+    order = np.lexsort((d, key))        # diag-sorted within each pair key
     key, d = key[order], d[order]
     starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
     counts = np.diff(np.r_[starts, len(key)])
-    # median diag per pair via segment medians
-    diag = np.empty(len(starts), np.int32)
-    for idx, (s, c) in enumerate(zip(starts, counts)):
-        seg = np.sort(d[s:s + c])
-        diag[idx] = seg[(c - 1) // 2]
+    diag = d[starts + (counts - 1) // 2]      # median of sorted segment
     ukey = key[starts]
     pairs = np.stack([(ukey >> 32).astype(np.int32),
                       (ukey & 0xFFFFFFFF).astype(np.int32)], axis=1)
     shared = counts.astype(np.int32)
-    keep = shared >= min_shared
-    return pairs[keep], shared[keep], diag[keep]
+    keepm = shared >= min_shared
+    return pairs[keepm], shared[keepm], diag[keepm]
 
 
 @dataclasses.dataclass

@@ -126,11 +126,19 @@ def run(paths: list, cfg: PipelineConfig = PipelineConfig(),
                                  "tcov", "matches", "aln_len"))))
         log.info("cluster: resumed from cache")
     else:
+        # --priority: genomes listed earlier outrank the rest (ties by
+        # input order within the same rank)
+        prio = np.full(genome_store.n_genomes, len(cfg.priority), np.int64)
+        for rank, pname in enumerate(cfg.priority):
+            for gi, gname in enumerate(genome_store.genome_names):
+                if gname == pname and prio[gi] == len(cfg.priority):
+                    prio[gi] = rank
         clusters = linclust.cluster_genes(
             gene_store, identity=cfg.clust_identity,
             coverage=cfg.clust_match_prop, k=cfg.kmer, w=cfg.window,
             band=cfg.band, max_group=cfg.max_minimizer_group,
-            batch=cfg.sw_batch)
+            batch=cfg.sw_batch,
+            genome_priority=prio if len(cfg.priority) else None)
         cache.store("cluster", {
             "root": clusters.root, "exemplar": clusters.exemplar,
             "exemplar_ids": clusters.exemplar_ids,

@@ -117,3 +117,22 @@ def test_candidate_pairs_all_self_pairs():
         strand=np.array([True, True]))
     p, s, d = prs.candidate_pairs(table)
     assert len(p) == 0 and len(s) == 0 and len(d) == 0
+
+
+def test_exact_duplicate_dedup_and_priority(rng):
+    """Byte-identical genes collapse before alignment; --priority steers
+    exemplar choice."""
+    import numpy as np
+    from peppan_tpu.io.tokens import GeneStore
+    from peppan_tpu.cluster import linclust
+
+    base = rng.integers(0, 4, 300).astype(np.int8)
+    store = GeneStore.from_sequences(
+        [base, base.copy(), base.copy()], genome=[0, 1, 2])
+    res = linclust.cluster_genes(store)
+    assert res.n_clusters == 1
+    assert int(res.exemplar[0]) == 0          # smallest index by default
+    # priority: genome 2 trusted most -> its gene becomes exemplar
+    res2 = linclust.cluster_genes(
+        store, genome_priority=np.array([2, 1, 0]))
+    assert int(res2.exemplar[0]) == 2
