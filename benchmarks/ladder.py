@@ -42,8 +42,7 @@ def run_config(n_genomes: int, *, seed: int = 1000) -> dict:
 
     metrics.reset()
     t0 = time.time()
-    res = pipeline.run(paths, PipelineConfig(prefix=f"L{n_genomes}",
-                                             sw_batch=1024),
+    res = pipeline.run(paths, PipelineConfig(prefix=f"L{n_genomes}"),
                        out_dir=tmp)
     wall = time.time() - t0
     counters = metrics.snapshot()

@@ -56,7 +56,7 @@ def exact_duplicate_groups(store: GeneStore) -> np.ndarray:
 def cluster_genes(store: GeneStore, *, identity: float = 0.9,
                   coverage: float = 0.9, k: int = 13, w: int = 8,
                   band: int = 128, max_group: int = 64,
-                  batch: int = 256,
+                  batch: int = 4096,
                   genome_priority: np.ndarray | None = None) -> ClusterResult:
     """Cluster pooled genes at high identity; choose exemplars.
 

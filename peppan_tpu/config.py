@@ -49,7 +49,7 @@ class PipelineConfig:
     gap_open: int = 5
     gap_extend: int = 2
     max_minimizer_group: int = 64
-    sw_batch: int = 512
+    sw_batch: int = 4096
 
     # --- execution ---
     continue_run: bool = False          # --continue : reuse phase outputs

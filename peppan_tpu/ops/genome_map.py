@@ -26,6 +26,10 @@ from __future__ import annotations
 
 import dataclasses
 
+import functools
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..io import alphabet
@@ -61,14 +65,12 @@ def index_genomes(store: GenomeStore, *, k: int = 13, w: int = 8,
                     seg, np.full(chunk - len(seg), alphabet.DNA_PAD, np.int8)])
             rows.append(seg)
         dense = np.stack(rows)
-        h, st, f = minimizers.sketch_batch(dense, k, w)
-        f = f.copy()
+        rr, cc, hv, sv = minimizers.sketch_flagged(dense, k, w)
         # drop duplicated flags in the overlap region of non-first chunks
-        for ri in range(1, len(starts)):
-            f[ri, :overlap] = False
-        rr, cc = np.nonzero(f)
-        hs.append(h[rr, cc])
-        ss.append(st[rr, cc])
+        keep = (rr == 0) | (cc >= overlap)
+        rr, cc, hv, sv = rr[keep], cc[keep], hv[keep], sv[keep]
+        hs.append(hv)
+        ss.append(sv)
         ps.append(np.asarray(starts, np.int64)[rr] + cc)
         cs.append(np.full(len(rr), ci, np.int32))
     h = np.concatenate(hs) if hs else np.zeros(0, np.uint32)
@@ -112,7 +114,7 @@ class MapHits:
 def map_exemplars(genes: GeneStore, genomes: GenomeStore,
                   exemplar_ids: np.ndarray, index: GenomeIndex, *,
                   min_identity: float = 0.65, min_frag_len: int = 50,
-                  band: int = 128, slack: int = 64, batch: int = 512,
+                  band: int = 128, slack: int = 64, batch: int = 2048,
                   gap_open: int = 5, gap_extend: int = 2,
                   min_seeds: int = 2, stitch_gap: int = 300) -> MapHits:
     """Map every exemplar gene onto every genome."""
@@ -186,7 +188,10 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
     # dedup identical candidate windows
     cand_rows = sorted(set(cand_rows))
 
-    # --- align candidates in width buckets --------------------------------
+    # --- align candidates in width buckets (device-resident gathers) ------
+    # genome tokens upload once; per batch only (P,) window descriptors
+    # move host->device; window extraction AND minus-strand revcomp happen
+    # on device; launches enqueue asynchronously, fetches defer.
     widths = make_length_buckets(
         max(int(b - a) for (_, _, _, a, b) in cand_rows))
     by_bucket: dict = {}
@@ -194,52 +199,61 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
         wbi = int(np.searchsorted(widths, row[4] - row[3], side="left"))
         by_bucket.setdefault(wbi, []).append(row)
 
+    genome_tokens_dev = jax.device_put(genomes.tokens)
+    qw_all = max(_bucket_width(int(genes.length[
+        [r[0] for r in cand_rows]].max())), band)
+    # gene token store (exemplars only appear, but index globally)
+    gene_dense = _dense_gene_store(genes, qw_all)
+    gene_tokens_dev = jax.device_put(gene_dense)
+
     scorer = sw.dna_scorer()
+    launches = []
     results = []
     for wbi, rows in sorted(by_bucket.items()):
         width = int(widths[wbi])
-        qw = max(_bucket_width(max(int(genes.length[r[0]]) for r in rows)),
-                 band)
         i = 0
         while i < len(rows):
             chunk_rows = rows[i:i + batch]
             P = _pad_pow2(len(chunk_rows), batch)
-            qd = np.full((P, qw), alphabet.DNA_PAD, np.int8)
-            td = np.full((P, width), alphabet.DNA_PAD, np.int8)
+            exv = np.zeros(P, np.int32)
+            gstart = np.zeros(P, np.int64)
+            vlen = np.zeros(P, np.int32)
+            minus = np.zeros(P, bool)
             for ri, (ex, ci, strand, a, b) in enumerate(chunk_rows):
-                qt = genes.gene_tokens(ex)
-                qd[ri, :len(qt)] = qt[:qw]
-                wt = genomes.contig_tokens(ci)[a:b]
-                if strand < 0:
-                    wt = alphabet.revcomp(wt)
-                td[ri, :len(wt)] = wt[:width]
-            td = sw.prep_target_tokens(td)
-            res = sw.sw_banded(qd, td, scorer=scorer, gap_open=gap_open,
-                               gap_extend=gap_extend, band=band,
-                               with_stats=True)
-            res = {k2: np.asarray(v)[:len(chunk_rows)]
-                   for k2, v in res.items()}
+                base = int(genomes.contig_offset[ci])
+                exv[ri] = ex
+                vlen[ri] = b - a
+                minus[ri] = strand < 0
+                gstart[ri] = base + (a if strand > 0 else b - width)
+            handle = _window_align(
+                gene_tokens_dev, genome_tokens_dev, exv, gstart, vlen,
+                minus, scorer=scorer, gap_open=gap_open,
+                gap_extend=gap_extend, band=band, width=width)
+            launches.append((chunk_rows, handle))
             metrics.add("map_windows", len(chunk_rows))
-            metrics.add("sw_lane_cells", P * (qw + width - 1) * band)
+            metrics.add("sw_lane_cells", P * (qw_all + width - 1) * band)
             metrics.add("sw_launches", 1)
-            for ri, (ex, ci, strand, a, b) in enumerate(chunk_rows):
-                if res["score"][ri] <= 0:
-                    continue
-                alen = int(res["aln_len"][ri])
-                ident = res["matches"][ri] / max(alen, 1)
-                span = int(res["qend"][ri]) - int(res["qstart"][ri]) + 1
-                if ident < min_identity or span < min_frag_len:
-                    continue
-                ts, te = int(res["tstart"][ri]), int(res["tend"][ri])
-                if strand > 0:
-                    gs, ge = a + ts, a + te
-                else:
-                    gs, ge = b - 1 - te, b - 1 - ts
-                results.append((ex, int(genomes.contig_genome[ci]), ci,
-                                gs, ge, strand, int(res["score"][ri]),
-                                float(ident),
-                                span / max(int(genes.length[ex]), 1)))
             i += batch
+
+    for chunk_rows, handle in launches:
+        res = sw.unpack_stats(np.asarray(handle), len(chunk_rows))
+        for ri, (ex, ci, strand, a, b) in enumerate(chunk_rows):
+            if res["score"][ri] <= 0:
+                continue
+            alen = int(res["aln_len"][ri])
+            ident = res["matches"][ri] / max(alen, 1)
+            span = int(res["qend"][ri]) - int(res["qstart"][ri]) + 1
+            if ident < min_identity or span < min_frag_len:
+                continue
+            ts, te = int(res["tstart"][ri]), int(res["tend"][ri])
+            if strand > 0:
+                gs, ge = a + ts, a + te
+            else:
+                gs, ge = b - 1 - te, b - 1 - ts
+            results.append((ex, int(genomes.contig_genome[ci]), ci,
+                            gs, ge, strand, int(res["score"][ri]),
+                            float(ident),
+                            span / max(int(genes.length[ex]), 1)))
 
     if not results:
         return MapHits.concat([])
@@ -257,6 +271,44 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
         stitched=np.zeros(len(res_arr), bool),
     )
     return _dedup_and_stitch(hits, genes, stitch_gap)
+
+
+def _dense_gene_store(genes: GeneStore, width: int) -> np.ndarray:
+    from ..io.tokens import pad_to_dense
+    return pad_to_dense(genes, np.arange(genes.n_genes), width)
+
+
+@functools.partial(jax.jit, static_argnames=("scorer", "gap_open",
+                                             "gap_extend", "band", "width"))
+def _window_align(gene_tokens, genome_tokens, exv, gstart, vlen, minus, *,
+                  scorer, gap_open, gap_extend, band, width):
+    """Gather genome windows on device (incl. minus-strand revcomp) and
+    align the exemplar genes against them; returns packed (7, P) stats.
+
+    Plus strand rows gather [gstart, gstart+width); minus rows gather the
+    SAME width ending at the window's end (gstart = b - width), flip and
+    complement, so row[k] = revcomp(genome)[...] with the valid region at
+    the front either way.  Columns >= vlen are masked to T_PAD.
+    """
+    # NOTE: flat genome offsets are int32 on device (x64 disabled): one
+    # resident token store is limited to 2^31 bases (~2 Gbp, ~400 bacterial
+    # genomes); larger runs shard genomes across stores / the 'db' axis.
+    P = exv.shape[0]
+    qd = jnp.take(gene_tokens, exv, axis=0)
+    cols = jnp.arange(width, dtype=jnp.int32)[None, :]
+    idx = jnp.clip(gstart.astype(jnp.int32)[:, None] + cols, 0,
+                   genome_tokens.shape[0] - 1)
+    fwd = jnp.take(genome_tokens, idx)
+    comp = jnp.where(fwd < 4, 3 - fwd, fwd)
+    rev = jnp.flip(comp, axis=1)
+    td = jnp.where(minus[:, None], rev, fwd).astype(jnp.int32)
+    valid = jnp.arange(width, dtype=jnp.int32)[None, :] < vlen[:, None]
+    td = jnp.where(valid, td, sw.T_PAD)
+    td = jnp.where(td == 5, sw.T_PAD, jnp.where(td == 4, sw.T_N, td))
+    res = sw.sw_banded(qd.astype(jnp.int8), td.astype(jnp.int8),
+                       scorer=scorer, gap_open=gap_open,
+                       gap_extend=gap_extend, band=band, with_stats=True)
+    return jnp.stack([res[k] for k in sw.STATS_KEYS])
 
 
 def _dedup_and_stitch(hits: MapHits, genes: GeneStore,

@@ -119,6 +119,26 @@ def sketch_batch(tokens: np.ndarray, k: int = 15, w: int = 10) -> tuple:
     return np.asarray(h), np.asarray(s), np.asarray(f)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "w"))
+def _sketch_flagged_dev(tokens: jax.Array, k: int, w: int) -> jax.Array:
+    h, s = kmer_hashes(tokens, k)
+    f = minimizer_flags(h, w)
+    # fold the strand bit into hash bit 0; non-minimizer positions invalid.
+    # ONE uint32 array comes back to the host: each device->host fetch has
+    # ~25 ms flat latency on the tunnelled backend, so fetch count matters.
+    packed = (h & np.uint32(0xFFFFFFFE)) | s.astype(jnp.uint32)
+    return jnp.where(f, packed, INVALID_HASH)
+
+
+def sketch_flagged(tokens: np.ndarray, k: int = 15, w: int = 10) -> tuple:
+    """(rows, cols, hash, strand) of minimizer positions, single fetch.
+    hash has bit 0 cleared (joins must compare this masked value)."""
+    packed = np.asarray(_sketch_flagged_dev(jnp.asarray(tokens), k, w))
+    rows, cols = np.nonzero(packed != INVALID_HASH)
+    v = packed[rows, cols]
+    return rows, cols, v & np.uint32(0xFFFFFFFE), (v & 1).astype(bool)
+
+
 # --- protein (reduced-alphabet) sketching ------------------------------------
 # Murphy-10 reduction of the 20-letter alphabet: groups statistically
 # exchangeable residues so seeds survive conservative substitutions — the
@@ -171,3 +191,17 @@ def aa_sketch_batch(tokens: np.ndarray, k: int = 7, w: int = 6) -> tuple:
     h = aa_kmer_hashes(jnp.asarray(tokens), k)
     f = minimizer_flags(h, w)
     return np.asarray(h), np.asarray(f)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w"))
+def _aa_sketch_flagged_dev(tokens: jax.Array, k: int, w: int) -> jax.Array:
+    h = aa_kmer_hashes(tokens, k)
+    f = minimizer_flags(h, w)
+    return jnp.where(f, h, INVALID_HASH)
+
+
+def aa_sketch_flagged(tokens: np.ndarray, k: int = 7, w: int = 6) -> tuple:
+    """(rows, cols, hash) of AA minimizer positions — single fetch."""
+    packed = np.asarray(_aa_sketch_flagged_dev(jnp.asarray(tokens), k, w))
+    rows, cols = np.nonzero(packed != INVALID_HASH)
+    return rows, cols, packed[rows, cols]

@@ -17,6 +17,10 @@ from __future__ import annotations
 
 import dataclasses
 
+import functools
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..io import alphabet
@@ -65,14 +69,13 @@ def build_minimizer_table(store: GeneStore, k: int = 13, w: int = 8,
         rows_padded = _pad_rows(j - i, batch)
         dense = np.full((rows_padded, width), alphabet.DNA_PAD, np.int8)
         dense[:j - i] = pad_to_dense(store, idx, width)
-        h, st, f = minimizers.sketch_batch(dense, k, w)
-        f = f.copy()
-        f[j - i:] = False
-        rows, cols = np.nonzero(f)
-        hs.append(h[rows, cols])
+        rows, cols, hv, sv = minimizers.sketch_flagged(dense, k, w)
+        keep = rows < j - i
+        rows, cols = rows[keep], cols[keep]
+        hs.append(hv[keep])
         gs.append(idx[rows].astype(np.int32))
         ps.append(cols.astype(np.int32))
-        ss.append(st[rows, cols])
+        ss.append(sv[keep])
         i = j
     h = np.concatenate(hs)
     g = np.concatenate(gs)
@@ -147,14 +150,33 @@ class PairHits:
     aln_len: np.ndarray    # int32[m]
 
 
+@functools.partial(jax.jit, static_argnames=("scorer", "gap_open",
+                                             "gap_extend", "band"))
+def _gather_align(tokens, qidx, tidx, *, scorer, gap_open, gap_extend,
+                  band):
+    """Device-resident pair alignment: gather rows from the uploaded token
+    store by index, remap the target side for the equality scorer, run the
+    stats wavefront, return the packed (7, P) result.  Only small index
+    vectors cross the host->device boundary per launch (the tunnelled TPU
+    backend charges ~100 ms/MB for int8 uploads and ~150 ms flat per
+    synchronous round-trip, so tokens stay resident and fetches defer)."""
+    qd = jnp.take(tokens, qidx, axis=0)
+    td = jnp.take(tokens, tidx, axis=0)
+    td = jnp.where(td == 5, sw.T_PAD, jnp.where(td == 4, sw.T_N, td))
+    res = sw.sw_banded(qd, td, scorer=scorer, gap_open=gap_open,
+                       gap_extend=gap_extend, band=band, with_stats=True)
+    return jnp.stack([res[k] for k in sw.STATS_KEYS])
+
+
 def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
-                 gap_open: int = 5, gap_extend: int = 2, batch: int = 256,
+                 gap_open: int = 5, gap_extend: int = 2, batch: int = 4096,
                  match: int = 2, mismatch: int = -3) -> PairHits:
     """Align every candidate pair with banded SW (stats mode) on device.
 
-    Pairs are bucketed by max member length so each bucket compiles once;
-    within a bucket, query is always the shorter gene (canonical orientation
-    for symmetric scores).
+    The padded token store is uploaded once; per batch only (P,) index
+    vectors move host->device, all launches are enqueued back-to-back, and
+    the packed results are fetched after the last dispatch (async overlap).
+    Query is always the shorter gene (canonical orientation).
     """
     m = len(pairs)
     out_score = np.zeros(m, np.int32)
@@ -171,40 +193,39 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
         tidx = np.where(la <= lb, pairs[:, 1], pairs[:, 0])
         qlen = store.length[qidx].astype(np.int64)
         tlen = store.length[tidx].astype(np.int64)
-        buckets = make_length_buckets(int(tlen.max()))
-        tb = np.searchsorted(buckets, tlen, side="left")
-        order = np.lexsort((np.arange(m), tb))
+        buckets = make_length_buckets(max(int(store.length.max()), band))
+        width = int(buckets[np.searchsorted(
+            buckets, max(int(store.length.max()), band), side="left")])
+        dense = pad_to_dense(store, np.arange(store.n_genes), width)
+        tokens_dev = jax.device_put(dense)
         scorer = sw.dna_scorer(match, mismatch)
+
+        launches = []
         i = 0
         while i < m:
             j = min(i + batch, m)
-            # keep one bucket per launch
-            j = i + int(np.searchsorted(tb[order[i:j]], tb[order[i]],
-                                        side="right"))
-            sel = order[i:j]
-            width = int(buckets[tb[sel[0]]])
-            wq = max(int(buckets[np.searchsorted(
-                buckets, int(qlen[sel].max()), side="left")]), band)
+            sel = np.arange(i, j)
             rows_padded = _pad_rows(len(sel), batch)
-            qd = np.full((rows_padded, wq), alphabet.DNA_PAD, np.int8)
-            td = np.full((rows_padded, width), alphabet.DNA_PAD, np.int8)
-            qd[:len(sel)] = pad_to_dense(store, qidx[sel], wq)
-            td[:len(sel)] = pad_to_dense(store, tidx[sel], width)
-            td = sw.prep_target_tokens(td)
-            res = sw.sw_banded(qd, td, scorer=scorer, gap_open=gap_open,
-                               gap_extend=gap_extend, band=band,
-                               with_stats=True)
-            res = {k2: np.asarray(v)[:len(sel)] for k2, v in res.items()}
+            qi = np.zeros(rows_padded, np.int32)
+            ti = np.zeros(rows_padded, np.int32)
+            qi[:len(sel)] = qidx[sel]
+            ti[:len(sel)] = tidx[sel]
+            handle = _gather_align(tokens_dev, qi, ti, scorer=scorer,
+                                   gap_open=gap_open,
+                                   gap_extend=gap_extend, band=band)
+            launches.append((sel, handle))
             metrics.add("sw_pairs", len(sel))
             metrics.add("sw_lane_cells",
-                        rows_padded * (wq + width - 1) * band)
+                        rows_padded * (2 * width - 1) * band)
             metrics.add("sw_launches", 1)
-            out_score[sel] = np.asarray(res["score"])
-            out_match[sel] = np.asarray(res["matches"])
-            out_alen[sel] = np.asarray(res["aln_len"])
-            out_qspan[sel] = np.asarray(res["qend"]) - np.asarray(res["qstart"]) + 1
-            out_tspan[sel] = np.asarray(res["tend"]) - np.asarray(res["tstart"]) + 1
             i = j
+        for sel, handle in launches:
+            res = sw.unpack_stats(np.asarray(handle), len(sel))
+            out_score[sel] = res["score"]
+            out_match[sel] = res["matches"]
+            out_alen[sel] = res["aln_len"]
+            out_qspan[sel] = res["qend"] - res["qstart"] + 1
+            out_tspan[sel] = res["tend"] - res["tstart"] + 1
     alen = np.maximum(out_alen, 1)
     return PairHits(
         pairs=np.asarray(pairs, np.int32),

@@ -66,11 +66,10 @@ def build_aa_minimizer_table(store: GeneStore, k: int = 7, w: int = 6,
         for row, gidx in enumerate(idx):
             t = store.gene_tokens(int(gidx))
             dense[row, :len(t)] = t[:width]
-        h, f = minimizers.aa_sketch_batch(dense, k, w)
-        f = f.copy()
-        f[j - i:] = False
-        rows, cols = np.nonzero(f)
-        hs.append(h[rows, cols])
+        rows, cols, hv = minimizers.aa_sketch_flagged(dense, k, w)
+        keep = rows < j - i
+        rows, cols = rows[keep], cols[keep]
+        hs.append(hv[keep])
         gs.append(idx[rows].astype(np.int32))
         ps.append(cols.astype(np.int32))
         i = j
@@ -85,7 +84,7 @@ def build_aa_minimizer_table(store: GeneStore, k: int = 7, w: int = 6,
 def verify_protein_pairs(store: GeneStore, pair_arr: np.ndarray, *,
                          band: int = 64, gap_open: int = 11,
                          gap_extend: int = 1,
-                         batch: int = 512) -> prs.PairHits:
+                         batch: int = 2048) -> prs.PairHits:
     """BLOSUM62 banded SW over AA candidate pairs (stats mode)."""
     m = len(pair_arr)
     out = {k: np.zeros(m, np.int32) for k in
@@ -120,10 +119,10 @@ def verify_protein_pairs(store: GeneStore, pair_arr: np.ndarray, *,
                 tt = store.gene_tokens(int(ti2))
                 qd[row, :len(qt)] = qt[:wq]
                 td[row, :len(tt)] = tt[:width]
-            res = sw.sw_banded(qd, td, scorer=scorer, gap_open=gap_open,
-                               gap_extend=gap_extend, band=band,
-                               with_stats=True, n_real_tokens=20)
-            res = {k2: np.asarray(v)[:len(sel)] for k2, v in res.items()}
+            packed = np.asarray(sw.sw_banded_packed(
+                qd, td, scorer=scorer, gap_open=gap_open,
+                gap_extend=gap_extend, band=band, n_real_tokens=20))
+            res = sw.unpack_stats(packed, len(sel))
             out["score"][sel] = res["score"]
             out["matches"][sel] = res["matches"]
             out["aln_len"][sel] = res["aln_len"]

@@ -319,3 +319,29 @@ def sw_banded(q: jax.Array, t: jax.Array, *, scorer: Callable,
            "qstart": jnp.where(empty, 0, at_lane(bQS)),
            "tstart": jnp.where(empty, 0, at_lane(bTS))}
     return out
+
+
+STATS_KEYS = ("score", "qend", "tend", "matches", "aln_len", "qstart",
+              "tstart")
+
+
+@functools.partial(jax.jit, static_argnames=("scorer", "gap_open",
+                                             "gap_extend", "band", "c0",
+                                             "n_real_tokens"))
+def sw_banded_packed(q: jax.Array, t: jax.Array, *, scorer: Callable,
+                     gap_open: int = 5, gap_extend: int = 2,
+                     band: int = 128, c0: int = 0,
+                     n_real_tokens: int = 4) -> jax.Array:
+    """Stats-mode alignment returning ONE int32[7, P] array (STATS_KEYS
+    order).  Exists because each device->host fetch costs ~25 ms of flat
+    latency on the tunnelled TPU backend — callers fetch one array per
+    launch instead of seven."""
+    res = sw_banded(q, t, scorer=scorer, gap_open=gap_open,
+                    gap_extend=gap_extend, band=band, c0=c0,
+                    with_stats=True, n_real_tokens=n_real_tokens)
+    return jnp.stack([res[k] for k in STATS_KEYS])
+
+
+def unpack_stats(packed: np.ndarray, n: int) -> dict:
+    """int32[7, >=n] -> dict of numpy arrays (STATS_KEYS), truncated to n."""
+    return {k: packed[i, :n] for i, k in enumerate(STATS_KEYS)}

@@ -1,0 +1,68 @@
+"""Sequence-tiling sweep + tile checkpoint runner tests (8-dev CPU mesh)."""
+
+import numpy as np
+
+from peppan_tpu.io import alphabet as ab
+from peppan_tpu.ops import sw
+from peppan_tpu.parallel import dist, mesh as meshmod, seqtile
+
+
+def test_window_geometry(rng):
+    """stride = band, width = wq + 2*band: every target position has a
+    window placing it within the c0=0 band with full containment."""
+    target = rng.integers(0, 4, 40_000).astype(np.int8)
+    wq, band = 256, 64
+    wins = seqtile.window_long_target(target, wq, band)
+    assert wins.shape[1] == wq + 2 * band
+    n_expected = len(range(0, len(target) - band, band))
+    assert wins.shape[0] == n_expected
+
+
+def test_sweep_matches_full_alignment(rng):
+    m = meshmod.make_mesh(data=2, db=4)
+    target = rng.integers(0, 4, 30_000).astype(np.int8)
+    # plant two queries at known positions (one revcomp-irrelevant, fwd)
+    q1 = target[5_000:5_400].copy()
+    q2 = target[22_000:22_300].copy()
+    mut = rng.random(300) < 0.05
+    q2[mut] = (q2[mut] + 1) % 4
+    q3 = rng.integers(0, 4, 350).astype(np.int8)  # unrelated
+    wq = 512
+    q = np.full((3, wq), ab.DNA_PAD, np.int8)
+    for i, s in enumerate((q1, q2, q3)):
+        q[i, :len(s)] = s
+    got = seqtile.sweep_scores(q, target, m, band=64)
+    # planted exact copy: full-score alignment must be recovered even
+    # though its position (5000) is far outside any single c0=0 band
+    assert got[0] == 2 * len(q1)
+    # mutated copy: high but sub-perfect score
+    assert 2 * 300 * 0.75 < got[1] < 2 * 300
+    # unrelated query scores low
+    assert got[2] < 100
+
+
+def test_tile_runner_resume(tmp_path):
+    calls = []
+
+    def compute(qlo, qhi, shard):
+        calls.append((qlo, shard))
+        n = qhi - qlo
+        rngl = np.random.default_rng(qlo * 10 + shard)
+        return {"score": rngl.integers(0, 100, n).astype(np.int32),
+                "idx": np.full(n, shard, np.int64)}
+
+    r1 = dist.TileRunner(str(tmp_path), n_queries=10, q_block=4, n_shards=3)
+    out1 = r1.run(compute)
+    n_calls_first = len(calls)
+    assert n_calls_first == 9  # 3 q-blocks x 3 shards
+
+    # resume: nothing recomputed, identical result
+    r2 = dist.TileRunner(str(tmp_path), n_queries=10, q_block=4, n_shards=3)
+    out2 = r2.run(compute)
+    assert len(calls) == n_calls_first
+    assert np.array_equal(out1["score"], out2["score"])
+    assert np.array_equal(out1["idx"], out2["idx"])
+
+
+def test_initialize_single_process_noop():
+    dist.initialize(num_processes=1)  # must not raise
