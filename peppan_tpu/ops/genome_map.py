@@ -142,51 +142,43 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
     gcontig = index.contig[flat]
     rel = index.strand[flat] == qstr_r             # True = forward match
 
-    cand_rows = []   # (exemplar, contig, strand_rel, window_a, window_b)
+    # --- vectorized chaining: consecutive seeds (sorted by exemplar,
+    # contig, strand, diagonal, position) chain while the diagonal moves
+    # <= 64 and the position gap <= 2000; a chain's anchor is its first
+    # seed (minimap2-lite; the reference's HSP chaining analog) ----------
     qlen_of = sub.length
     diag = np.where(rel, gpos - qpos_r, gpos + qpos_r)
     order = np.lexsort((gpos, diag, rel, gcontig, ex_r))
-    cur = None
-    chains = []   # (sub_ex, contig, fwd, anchor_g, anchor_q, nseeds)
+    exs, cts, rls = ex_r[order], gcontig[order], rel[order]
+    dgs, gps, qps = diag[order], gpos[order], qpos_r[order]
+    brk = np.ones(len(order), dtype=bool)
+    if len(order) > 1:
+        brk[1:] = ((exs[1:] != exs[:-1]) | (cts[1:] != cts[:-1])
+                   | (rls[1:] != rls[:-1])
+                   | (np.abs(dgs[1:] - dgs[:-1]) > 64)
+                   | (gps[1:] - gps[:-1] > 2000))
+    chain_id = np.cumsum(brk) - 1
+    first = np.flatnonzero(brk)
+    nseeds = np.diff(np.r_[first, len(order)])
+    c_ex, c_ct, c_fwd = exs[first], cts[first], rls[first]
+    c_g, c_q = gps[first], qps[first]
 
-    def flush(c):
-        if c is not None:
-            chains.append(c)
-
-    for idx in order:
-        key = (int(ex_r[idx]), int(gcontig[idx]), bool(rel[idx]))
-        dv, gv, qv = int(diag[idx]), int(gpos[idx]), int(qpos_r[idx])
-        if (cur is None or cur[0] != key or abs(dv - cur[1]) > 64
-                or gv - cur[2] > 2000):
-            flush(cur[3] if cur else None)
-            cur = [key, dv, gv, [key[0], key[1], key[2], gv, qv, 1]]
-        else:
-            cur[1], cur[2] = dv, gv
-            cur[3][5] += 1
-    flush(cur[3] if cur else None)
-
-    for (sx, ci, fwd, g, q, nseeds) in chains:
-        L = int(qlen_of[sx])
-        ex = int(exemplar_ids[sx])
-        if nseeds < min_seeds and L > 4 * min_frag_len:
-            continue
-        clen = int(genomes.contig_offset[ci + 1]
-                   - genomes.contig_offset[ci])
-        if fwd:
-            a = g - q - slack
-            b = a + L + 2 * slack
-        else:
-            b = g + index.k + q + slack
-            a = b - L - 2 * slack
-        a, b = max(0, int(a)), min(clen, int(b))
-        if b - a < min(min_frag_len, L):
-            continue
-        cand_rows.append((ex, ci, 1 if fwd else -1, a, b))
+    L = qlen_of[c_ex].astype(np.int64)
+    keep = ~((nseeds < min_seeds) & (L > 4 * min_frag_len))
+    clen = (genomes.contig_offset[c_ct + 1]
+            - genomes.contig_offset[c_ct])
+    a = np.where(c_fwd, c_g - c_q - slack,
+                 c_g + index.k + c_q + slack - L - 2 * slack)
+    b = a + L + 2 * slack
+    a = np.maximum(a, 0)
+    b = np.minimum(b, clen)
+    keep &= (b - a) >= np.minimum(min_frag_len, L)
+    cand_rows = sorted(set(
+        (int(exemplar_ids[c_ex[i]]), int(c_ct[i]),
+         1 if c_fwd[i] else -1, int(a[i]), int(b[i]))
+        for i in np.flatnonzero(keep)))
     if not cand_rows:
         return MapHits.concat([])
-
-    # dedup identical candidate windows
-    cand_rows = sorted(set(cand_rows))
 
     # --- align candidates in width buckets (device-resident gathers) ------
     # genome tokens upload once; per batch only (P,) window descriptors

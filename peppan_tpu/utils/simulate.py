@@ -26,14 +26,18 @@ import numpy as np
 from ..io import alphabet
 
 _STOP_CODONS = {(3, 0, 0), (3, 0, 2), (3, 2, 0)}  # TAA TAG TGA (table 11)
+_STOP_IDS = np.array([16 * a + 4 * b + c for (a, b, c) in _STOP_CODONS])
+_NONSTOP_IDS = np.array([i for i in range(64) if i not in set(_STOP_IDS)])
+
+
+def _codon_ids(cod: np.ndarray) -> np.ndarray:
+    return 16 * cod[:, 0].astype(np.int64) + 4 * cod[:, 1] + cod[:, 2]
 
 
 def _random_cds(rng: np.random.Generator, n_codons: int) -> np.ndarray:
     """Random complete CDS: ATG + (n_codons-2) non-stop codons + TAA."""
-    body = rng.integers(0, 4, size=(n_codons - 2, 3))
-    for row in body:
-        while tuple(row) in _STOP_CODONS:
-            row[:] = rng.integers(0, 4, size=3)
+    ids = rng.choice(_NONSTOP_IDS, size=n_codons - 2)
+    body = np.stack([(ids >> 4) & 3, (ids >> 2) & 3, ids & 3], axis=1)
     out = np.concatenate([
         np.array([0, 3, 2]),          # ATG
         body.reshape(-1),
@@ -51,11 +55,17 @@ def _mutate(rng: np.random.Generator, gene: np.ndarray, divergence: float) -> np
     mask[n - 3:] = False      # keep stop codon
     shifts = rng.integers(1, 4, size=n).astype(np.int8)
     g = np.where(mask, (g + shifts) % 4, g).astype(np.int8)
-    # repair internal stops created by mutation
+    # repair internal stops created by mutation (vectorized: only actual
+    # stop codons get resampled from the non-stop set)
     cod = g[:-3].reshape(-1, 3)
-    for i in range(1, len(cod)):
-        while tuple(cod[i]) in _STOP_CODONS:
-            cod[i, int(rng.integers(0, 3))] = np.int8(rng.integers(0, 4))
+    while True:
+        bad = np.flatnonzero(np.isin(_codon_ids(cod[1:]), _STOP_IDS)) + 1
+        if len(bad) == 0:
+            break
+        ids = rng.choice(_NONSTOP_IDS, size=len(bad))
+        cod[bad, 0] = (ids >> 4) & 3
+        cod[bad, 1] = (ids >> 2) & 3
+        cod[bad, 2] = ids & 3
     return g
 
 
