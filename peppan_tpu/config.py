@@ -53,5 +53,6 @@ class PipelineConfig:
 
     # --- execution ---
     continue_run: bool = False          # --continue : reuse phase outputs
+    profile_dir: str = ""               # write a jax.profiler trace here
     mesh_data: int = 1                  # mesh axis sizes ('data', 'db')
     mesh_db: int = 1

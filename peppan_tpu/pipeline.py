@@ -90,6 +90,19 @@ def run(paths: list, cfg: PipelineConfig = PipelineConfig(),
         out_dir: str = ".") -> PipelineResult:
     from .utils import jaxinit
     jaxinit.setup_cache()
+    if cfg.profile_dir:
+        import contextlib
+        import jax
+        profile_cm = jax.profiler.trace(cfg.profile_dir)
+    else:
+        import contextlib
+        profile_cm = contextlib.nullcontext()
+    with profile_cm:
+        return _run_inner(paths, cfg, out_dir)
+
+
+def _run_inner(paths: list, cfg: PipelineConfig,
+               out_dir: str) -> PipelineResult:
     phase_seconds: dict = {}
 
     os.makedirs(out_dir, exist_ok=True)

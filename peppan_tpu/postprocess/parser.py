@@ -221,6 +221,15 @@ def rarefaction(pan: PanGenome, path: str, *, n_perm: int = 100,
             pan_curve[p, k] = seen.sum()
             core_curve[p, k] = inall.sum()
     with open(path, "w") as fh:
+        # Heaps' law fit pan(N) ~ kappa * N^gamma: gamma < 1 indicates an
+        # open pan-genome (standard PEPPA_parser-style curve summary)
+        if n_gen >= 3:
+            x = np.log(np.arange(1, n_gen + 1))
+            y = np.log(np.maximum(pan_curve.mean(axis=0), 1))
+            gamma, logk = np.polyfit(x, y, 1)
+            fh.write(f"# heaps_law: pan(N) = {np.exp(logk):.1f} * "
+                     f"N^{gamma:.3f} ({'open' if gamma > 0.05 else 'closed'}"
+                     f" pan-genome)\n")
         fh.write("n_genomes\tpan_mean\tpan_sd\tcore_mean\tcore_sd\n")
         for k in range(n_gen):
             fh.write(f"{k + 1}\t{pan_curve[:, k].mean():.2f}\t"

@@ -73,7 +73,9 @@ def test_rarefaction_curve(pan_run, tmp_path):
     pan = post.read_pan_gff(res.outputs["gff"])
     path = str(tmp_path / "curve.tsv")
     post.rarefaction(pan, path, n_perm=20)
-    lines = open(path).read().splitlines()
+    all_lines = open(path).read().splitlines()
+    assert any(ln.startswith("# heaps_law") for ln in all_lines)
+    lines = [ln for ln in all_lines if not ln.startswith("#")]
     assert len(lines) == len(pan.genomes) + 1
     pan_means = [float(ln.split("\t")[1]) for ln in lines[1:]]
     core_means = [float(ln.split("\t")[3]) for ln in lines[1:]]
