@@ -56,7 +56,7 @@ def exact_duplicate_groups(store: GeneStore) -> np.ndarray:
 def cluster_genes(store: GeneStore, *, identity: float = 0.9,
                   coverage: float = 0.9, k: int = 13, w: int = 8,
                   band: int = 128, max_group: int = 64,
-                  batch: int = 4096,
+                  batch: int = 4096, m_per_gene: int = 20,
                   genome_priority: np.ndarray | None = None) -> ClusterResult:
     """Cluster pooled genes at high identity; choose exemplars.
 
@@ -77,7 +77,20 @@ def cluster_genes(store: GeneStore, *, identity: float = 0.9,
     sub = store.subset(uniq_ids)
 
     table = prs.build_minimizer_table(sub, k=k, w=w)
-    cand, _shared, _diag = prs.candidate_pairs(table, max_group=max_group)
+    # linclust-style reductions: (a) only the m lowest-hash minimizers per
+    # gene seed the join (mmseqs linclust's per-sequence m-kmer subset);
+    # (b) each gene pairs only with its minimizer group's CENTER (longest
+    # member) — transitivity comes from union-find, no all-pairs needed
+    if m_per_gene:
+        order = np.lexsort((table.hash, table.gene))
+        gpos = np.r_[True, table.gene[order][1:] != table.gene[order][:-1]]
+        rank = np.arange(len(order)) - np.maximum.accumulate(
+            np.where(gpos, np.arange(len(order)), 0))
+        keep_idx = np.sort(order[rank < m_per_gene])
+        table = prs.MinimizerTable(
+            table.hash[keep_idx], table.gene[keep_idx],
+            table.pos[keep_idx], table.strand[keep_idx])
+    cand = prs.candidate_center_pairs(table, sub.length)
     hits = prs.verify_pairs(sub, cand, band=band, batch=batch)
     keep = ((hits.identity >= identity) & (hits.qcov >= coverage)
             & (hits.tcov >= coverage))

@@ -85,6 +85,36 @@ def build_minimizer_table(store: GeneStore, k: int = 13, w: int = 8,
     return MinimizerTable(h[order], g[order], p[order], s[order])
 
 
+def candidate_center_pairs(table: MinimizerTable, lengths: np.ndarray, *,
+                           max_group: int = 10 ** 9) -> np.ndarray:
+    """linclust-style candidates: each gene pairs with the CENTER (longest
+    member, ties to smallest id) of every minimizer group it occurs in —
+    O(group size) instead of O(group size^2).  mmseqs linclust's core trick
+    (SURVEY.md §2.2): transitive cluster membership comes from union-find
+    over verified member-center edges, so all-pairs emission is never
+    needed for clustering.  Returns unique (a < b) int32[m, 2]."""
+    h, g = table.hash, table.gene
+    if len(h) == 0:
+        return np.zeros((0, 2), np.int32)
+    n = len(h)
+    brk = np.r_[True, h[1:] != h[:-1]]
+    seg_of = np.cumsum(brk) - 1
+    starts = np.flatnonzero(brk)
+    sizes = np.diff(np.r_[starts, n])
+    # center of each group: max length, tie -> smallest gene id
+    order = np.lexsort((g, -lengths[g].astype(np.int64), seg_of))
+    centers = g[order[starts]]
+    a = centers[seg_of].astype(np.int64)
+    b = g.astype(np.int64)
+    valid = (a != b) & (sizes[seg_of] <= max_group)
+    a, b = a[valid], b[valid]
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    key = np.unique((lo << 32) | hi)
+    return np.stack([(key >> 32).astype(np.int32),
+                     (key & 0xFFFFFFFF).astype(np.int32)], axis=1)
+
+
 def candidate_pairs(table: MinimizerTable, *, max_group: int = 64,
                     min_shared: int = 1) -> tuple:
     """Hash-join the minimizer table against itself.

@@ -47,7 +47,8 @@ def test_candidates_recall_and_rejection(rng):
     assert len(got) == len(truth_pairs)
 
 
-def test_threshold_tracks_identity(rng):
+def test_threshold_tracks_identity():
+    rng = np.random.default_rng(99)   # local: boundary case needs a fixed
     b = rng.integers(0, 4, 500).astype(np.int8)
     store = GeneStore.from_sequences(
         [b, _mutated(rng, b, 0.05), _mutated(rng, b, 0.30)])
