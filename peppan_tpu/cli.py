@@ -51,6 +51,24 @@ def _pan_parser(sub):
     return p
 
 
+def _sim_parser(sub):
+    p = sub.add_parser("simulate",
+                       help="generate a simulated pan-genome (SimPan-like)")
+    p.add_argument("-o", "--out_dir", required=True)
+    p.add_argument("--genomes", type=int, default=10)
+    p.add_argument("--core", type=int, default=200)
+    p.add_argument("--accessory", type=int, default=100)
+    p.add_argument("--accessory_freq", type=float, default=0.5)
+    p.add_argument("--divergence", type=float, default=0.02)
+    p.add_argument("--gene_codons", type=int, default=300)
+    p.add_argument("--paralog_families", type=int, default=0)
+    p.add_argument("--paralog_divergence", type=float, default=0.15)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--truth", default=None,
+                   help="also write the gene->family truth table here")
+    return p
+
+
 def _parse_parser(sub):
     p = sub.add_parser("parse", help="post-process a PEPPAN.gff")
     p.add_argument("-g", "--gff", required=True, help="<prefix>.PEPPAN.gff")
@@ -76,7 +94,26 @@ def main(argv=None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
     _pan_parser(sub)
     _parse_parser(sub)
+    _sim_parser(sub)
     args = ap.parse_args(argv)
+
+    if args.cmd == "simulate":
+        from .utils import simulate as simmod
+
+        sim = simmod.simulate(
+            n_genomes=args.genomes, n_core=args.core,
+            n_accessory=args.accessory, accessory_freq=args.accessory_freq,
+            divergence=args.divergence, mean_gene_codons=args.gene_codons,
+            paralog_families=args.paralog_families,
+            paralog_divergence=args.paralog_divergence, seed=args.seed)
+        paths = simmod.write_gff(sim, args.out_dir)
+        if args.truth:
+            with open(args.truth, "w") as fh:
+                fh.write("gene\tfamily\n")
+                for gid in sorted(sim.truth):
+                    fh.write(f"{gid}\t{sim.truth[gid]}\n")
+        print(f"wrote {len(paths)} genomes to {args.out_dir}")
+        return 0
 
     from .utils import jaxinit
     jaxinit.setup_cache()

@@ -1,0 +1,225 @@
+"""Protein-level genome mapping — the uberBlast DIAMOND-vs-genome stage.
+
+PEPPAN's phase-5 uberBlast searches genomes with DIAMOND on 6-frame
+translations so gene copies too diverged for nucleotide search (or
+disrupted ones) are still found (reference: modules/uberBlast.py — mount
+empty; role per SURVEY.md §2.2/§3.2).  TPU-native version:
+
+  1. the genome's six translated frames (3 forward, 3 on the reverse
+     complement) become AA token rows, chunked and sketched with the
+     Murphy-10 reduced-alphabet minimizers (one batched device pass);
+  2. exemplar proteins of the groups still MISSING in that genome join
+     against the frame index; seeds chain per (frame, diagonal);
+  3. candidate windows align with BLOSUM62 banded SW (device, stats);
+  4. AA frame coordinates convert back to forward-strand nucleotide
+     coordinates; scores rescale to nucleotide-equivalents
+     (3 * match_score * AA matches) so the greedy assignment can rank
+     DNA- and protein-sourced hits together (uberBlast's rescoring role).
+
+Frame coordinate conventions (contig length L, frame f in 0..2):
+  forward:  AA position a covers nucl [3a + f, 3a + f + 2]
+  reverse:  frames translate revcomp(contig); AA position a covers
+            revcomp coords [3a + f, 3a + f + 2]  which are forward-strand
+            [L - 3 - 3a - f, L - 1 - 3a - f], strand = -1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..io import alphabet
+from ..io.tokens import GeneStore, GenomeStore
+from ..utils import metrics
+from . import minimizers, protein, sw
+from .genome_map import MapHits
+
+
+def _frame_rows(contig: np.ndarray, gtable: int) -> list:
+    """[(frame_id 0..5, aa_tokens)] for one contig (0-2 fwd, 3-5 rc)."""
+    rc = alphabet.revcomp(contig)
+    out = []
+    for f in range(3):
+        out.append((f, alphabet.translate(contig[f:], gtable)))
+    for f in range(3):
+        out.append((3 + f, alphabet.translate(rc[f:], gtable)))
+    return out
+
+
+def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
+                        exemplar_ids: np.ndarray, missing: dict, *,
+                        gtable: int = 11, k: int = 7, w: int = 6,
+                        min_identity: float = 0.35, min_frag_aa: int = 20,
+                        band: int = 64, slack: int = 24, batch: int = 1024,
+                        gap_open: int = 11, gap_extend: int = 1,
+                        match_score: int = 2, chunk: int = 1 << 13) -> MapHits:
+    """Protein-search genomes for exemplars missing there.
+
+    missing: {genome_index: [exemplar gene ids]}.  Returns MapHits in
+    forward-strand nucleotide coordinates with nucl-equivalent scores.
+    """
+    if not missing:
+        return MapHits.concat([])
+    all_ex = sorted({int(e) for exs in missing.values() for e in exs})
+    aa_store = protein.translate_genes(genes, np.asarray(all_ex), gtable)
+    ex_of_row = {i: e for i, e in enumerate(all_ex)}
+    aa_tbl = protein.build_aa_minimizer_table(aa_store, k=k, w=w,
+                                              batch=batch)
+
+    rows_out = []
+    for gidx, ex_list in sorted(missing.items()):
+        ex_rows = np.asarray(
+            [i for i, e in ex_of_row.items() if e in set(map(int, ex_list))])
+        if len(ex_rows) == 0:
+            continue
+        sel = np.isin(aa_tbl.gene, ex_rows)
+        qh, qg, qp = aa_tbl.hash[sel], aa_tbl.gene[sel], aa_tbl.pos[sel]
+        if len(qh) == 0:
+            continue
+
+        # --- 6-frame AA index of this genome (batched device sketch) ----
+        contigs = [ci for ci in range(genomes.n_contigs)
+                   if genomes.contig_genome[ci] == gidx]
+        meta, mats = [], []
+        overlap = k + w
+        for ci in contigs:
+            toks = genomes.contig_tokens(ci)
+            for (fid, aa) in _frame_rows(toks, gtable):
+                for si, s in enumerate(range(0, max(len(aa) - overlap, 1),
+                                             chunk - overlap)):
+                    seg = aa[s:s + chunk]
+                    row = np.full(chunk, alphabet.AA_PAD, np.int8)
+                    row[:len(seg)] = seg
+                    meta.append((ci, fid, s, si == 0))
+                    mats.append(row)
+        if not mats:
+            continue
+        gh, gctg, gfid, gpos = [], [], [], []
+        for i0 in range(0, len(mats), 256):
+            dense = np.stack(mats[i0:i0 + 256])
+            rr, cc, hv = minimizers.aa_sketch_flagged(dense, k, w)
+            msub = meta[i0:i0 + 256]
+            firsts = np.asarray([m[3] for m in msub], bool)
+            keep = firsts[rr] | (cc >= overlap)
+            rr, cc, hv = rr[keep], cc[keep], hv[keep]
+            gh.append(hv)
+            gctg.append(np.asarray([msub[r][0] for r in rr], np.int32))
+            gfid.append(np.asarray([msub[r][1] for r in rr], np.int8))
+            gpos.append(np.asarray([msub[r][2] for r in rr], np.int64)
+                        + cc)
+        gh = np.concatenate(gh)
+        gctg = np.concatenate(gctg)
+        gfid = np.concatenate(gfid)
+        gposa = np.concatenate(gpos)
+        order = np.argsort(gh, kind="stable")
+        gh, gctg, gfid, gposa = (gh[order], gctg[order], gfid[order],
+                                 gposa[order])
+
+        # --- join + chain ------------------------------------------------
+        lo = np.searchsorted(gh, qh, side="left")
+        hi = np.searchsorted(gh, qh, side="right")
+        cnt = hi - lo
+        keep = (cnt > 0) & (cnt <= 32)
+        reps = cnt[keep]
+        if reps.sum() == 0:
+            continue
+        base = np.repeat(lo[keep], reps)
+        off = np.arange(len(base)) - np.repeat(np.cumsum(reps) - reps, reps)
+        flat = base + off
+        s_ex = np.repeat(qg[keep], reps)
+        s_qp = np.repeat(qp[keep], reps).astype(np.int64)
+        s_ct, s_f, s_gp = gctg[flat], gfid[flat], gposa[flat]
+        diag = s_gp - s_qp
+        order2 = np.lexsort((s_gp, diag, s_f, s_ct, s_ex))
+        exs, cts, fds = s_ex[order2], s_ct[order2], s_f[order2]
+        dgs, gps2, qps2 = diag[order2], s_gp[order2], s_qp[order2]
+        brk = np.ones(len(order2), bool)
+        if len(order2) > 1:
+            brk[1:] = ((exs[1:] != exs[:-1]) | (cts[1:] != cts[:-1])
+                       | (fds[1:] != fds[:-1])
+                       | (np.abs(dgs[1:] - dgs[:-1]) > 24)
+                       | (gps2[1:] - gps2[:-1] > 700))
+        first = np.flatnonzero(brk)
+        c_ex, c_ct, c_f = exs[first], cts[first], fds[first]
+        c_g, c_q = gps2[first], qps2[first]
+
+        # --- align candidates (host windows; counts are small) -----------
+        frame_cache: dict = {}
+
+        def frame_of(ctg, fid):
+            key = (ctg, fid)
+            if key not in frame_cache:
+                frame_cache[key] = _frame_rows(
+                    genomes.contig_tokens(ctg), gtable)[fid][1]
+            return frame_cache[key]
+
+        from ..io.tokens import make_length_buckets
+        for ci2 in range(len(first)):
+            row = int(c_ex[ci2])
+            exemplar = ex_of_row[row]
+            Laa = int(aa_store.length[row])
+            ctg = int(c_ct[ci2])
+            fid = int(c_f[ci2])
+            toks = genomes.contig_tokens(ctg)
+            frame_aa = frame_of(ctg, fid)
+            a = max(0, int(c_g[ci2]) - int(c_q[ci2]) - slack)
+            b = min(len(frame_aa), a + Laa + 2 * slack)
+            if b - a < min_frag_aa:
+                continue
+            win = frame_aa[a:b]
+            wb = make_length_buckets(max(b - a, band))
+            W = int(wb[np.searchsorted(wb, b - a, side="left")])
+            qwb = int(wb[min(np.searchsorted(wb, max(Laa, band),
+                                             side="left"), len(wb) - 1)])
+            qd = np.full((8, max(qwb, band)), alphabet.AA_PAD, np.int8)
+            td = np.full((8, W), alphabet.AA_PAD, np.int8)
+            qd[0, :Laa] = aa_store.gene_tokens(row)[:qwb]
+            td[0, :b - a] = win[:W]
+            res = sw.unpack_stats(np.asarray(sw.sw_banded_packed(
+                qd, td, scorer=sw.matrix_scorer(alphabet.blosum62_matrix()),
+                gap_open=gap_open, gap_extend=gap_extend, band=band,
+                n_real_tokens=20)), 1)
+            metrics.add("sw_launches", 1)
+            metrics.add("protein_map_windows", 1)
+            alen = int(res["aln_len"][0])
+            if alen == 0:
+                continue
+            ident = res["matches"][0] / alen
+            span = int(res["qend"][0]) - int(res["qstart"][0]) + 1
+            if ident < min_identity or span < min_frag_aa:
+                continue
+            # AA window coords -> frame coords -> fwd nucl coords
+            aa_s = a + int(res["tstart"][0])
+            aa_e = a + int(res["tend"][0])
+            L = len(toks)
+            f = fid % 3
+            if fid < 3:
+                ns, ne = 3 * aa_s + f, 3 * aa_e + f + 2
+                strand = 1
+            else:
+                ns = L - 3 - 3 * aa_e - f
+                ne = L - 1 - 3 * aa_s - f
+                strand = -1
+            ns, ne = max(0, ns), min(L - 1, ne)
+            rows_out.append(dict(
+                exemplar=int(exemplar), genome=gidx, contig=ctg,
+                start=ns, end=ne, strand=strand,
+                score=int(3 * match_score * res["matches"][0]),
+                identity=float(ident),
+                qcov=span / max(Laa, 1), stitched=False))
+
+    if not rows_out:
+        return MapHits.concat([])
+    rows_out.sort(key=lambda r: (r["genome"], r["contig"], r["start"],
+                                 r["exemplar"]))
+    return MapHits(
+        exemplar=np.asarray([r["exemplar"] for r in rows_out], np.int32),
+        genome=np.asarray([r["genome"] for r in rows_out], np.int32),
+        contig=np.asarray([r["contig"] for r in rows_out], np.int32),
+        start=np.asarray([r["start"] for r in rows_out], np.int64),
+        end=np.asarray([r["end"] for r in rows_out], np.int64),
+        strand=np.asarray([r["strand"] for r in rows_out], np.int8),
+        score=np.asarray([r["score"] for r in rows_out], np.int32),
+        identity=np.asarray([r["identity"] for r in rows_out], np.float32),
+        qcov=np.asarray([r["qcov"] for r in rows_out], np.float32),
+        stitched=np.zeros(len(rows_out), bool),
+    )

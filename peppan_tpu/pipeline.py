@@ -30,7 +30,7 @@ from .cluster.unionfind import connected_components
 from .config import PipelineConfig
 from .io import gff, writers
 from .io.tokens import GeneStore, GenomeStore
-from .ops import genome_map, pairs as prs, protein
+from .ops import genome_map, pairs as prs, protein, protein_map
 from .utils import manifest, metrics
 
 log = logging.getLogger("peppan_tpu")
@@ -74,6 +74,30 @@ def _similarity_groups(store: GeneStore, clusters: linclust.ClusterResult,
             edges = np.concatenate([edges, aa_edges])
     comp = connected_components(store.n_genes, edges)
     return comp[clusters.exemplar]
+
+
+def _missing_combos(store: GeneStore, clusters: linclust.ClusterResult,
+                    group_of_gene: np.ndarray, map_hits,
+                    n_genomes: int) -> dict:
+    """{genome: [representative exemplar per group absent there]}."""
+    group_of_ex = {int(e): int(group_of_gene[int(e)])
+                   for e in clusters.exemplar_ids}
+    # representative exemplar per group: longest, then smallest id
+    rep: dict = {}
+    for e in sorted(clusters.exemplar_ids,
+                    key=lambda e: (-int(store.length[int(e)]), int(e))):
+        rep.setdefault(group_of_ex[int(e)], int(e))
+    present = set()
+    for i in range(len(map_hits)):
+        g = group_of_ex.get(int(map_hits.exemplar[i]))
+        if g is not None:
+            present.add((int(map_hits.genome[i]), g))
+    missing: dict = {}
+    for gm in range(n_genomes):
+        exs = [rep[g] for g in rep if (gm, g) not in present]
+        if exs:
+            missing[gm] = sorted(exs)
+    return missing
 
 
 def _dense_groups(group_root: np.ndarray, gene_names: list) -> tuple:
@@ -184,6 +208,20 @@ def _run_inner(paths: list, cfg: PipelineConfig,
             min_identity=cfg.match_identity, min_frag_len=cfg.match_frag_len,
             band=cfg.band, batch=cfg.sw_batch, gap_open=cfg.gap_open,
             gap_extend=cfg.gap_extend, stitch_gap=cfg.synteny_gap)
+        if not cfg.nucl_only:
+            # DIAMOND-vs-genome stage: protein-search each genome for the
+            # groups that nucleotide mapping left missing there (divergent
+            # or disrupted copies; SURVEY §2.2 / §3.2)
+            missing = _missing_combos(gene_store, clusters, group_of_gene,
+                                      map_hits, genome_store.n_genomes)
+            if missing:
+                phits = protein_map.map_missing_protein(
+                    gene_store, genome_store, clusters.exemplar_ids,
+                    missing, gtable=cfg.gtable,
+                    min_identity=cfg.protein_identity, batch=cfg.sw_batch)
+                if len(phits):
+                    log.info("protein_map recovered %d hits", len(phits))
+                    map_hits = genome_map.MapHits.concat([map_hits, phits])
         cache.store("genome_map", {
             f.name: getattr(map_hits, f.name)
             for f in dataclasses.fields(genome_map.MapHits)})

@@ -1,0 +1,59 @@
+"""6-frame protein genome mapping (DIAMOND-vs-genome stage) tests."""
+
+import numpy as np
+
+from peppan_tpu import pipeline
+from peppan_tpu.config import PipelineConfig
+from peppan_tpu.io import alphabet as ab
+from peppan_tpu.utils import simulate
+
+
+def test_unannotated_divergent_copy_recovered(tmp_path):
+    """A gene copy that is (a) missing from the annotation and (b) too
+    diverged at DNA level for nucleotide seeding must still be recovered
+    as a region via the 6-frame protein map."""
+    rng = np.random.default_rng(123)
+    sim = simulate.simulate(n_genomes=3, n_core=8, n_accessory=0,
+                            mean_gene_codons=200, divergence=0.01, seed=66)
+    # genome 2, family 0: synonymous-recode + extra mutation -> DNA id
+    # ~0.65 with no shared 13-mers, AA id ~0.9; drop its annotation
+    feats = sim.features[2]
+    (cname, s, e, st, gid) = feats[0]
+    contig = sim.contigs[2][cname]
+    g = contig[s - 1:e]
+    if st < 0:
+        g = ab.revcomp(g)
+    g2 = simulate.synonymous_recode(rng, g)
+    g2 = simulate._mutate(rng, g2, 0.06)
+    placed = g2 if st > 0 else ab.revcomp(g2)
+    contig[s - 1:e] = placed
+    sim.features[2] = [f for f in feats if f[4] != gid]
+
+    paths = simulate.write_gff(sim, str(tmp_path / "gff"))
+    res = pipeline.run(paths, PipelineConfig(prefix="PM", sw_batch=4096,
+                                             paralog_split=False),
+                       out_dir=str(tmp_path / "out"))
+    fam0_genes = [i for i, n in enumerate(res.gene_store.names)
+                  if sim.truth.get(n) == "FAM_0000"]
+    assert fam0_genes  # genomes 0/1 still annotate it
+    grp = int(res.group_of_gene[fam0_genes[0]])
+    sel = np.flatnonzero((res.regions.group == grp)
+                         & (res.regions.genome == 2))
+    assert len(sel) >= 1, "divergent unannotated copy not recovered"
+    i = int(sel[0])
+    # coordinates overlap the planted location (GFF 1-based s..e)
+    assert int(res.regions.start[i]) < e and int(res.regions.end[i]) >= s - 1
+    # strand preserved
+    assert int(res.regions.strand[i]) == st
+
+    # control: nucleotide-only run must NOT recover it
+    res2 = pipeline.run(paths, PipelineConfig(prefix="PMN", nucl_only=True,
+                                              sw_batch=4096,
+                                              paralog_split=False),
+                        out_dir=str(tmp_path / "out2"))
+    fam0b = [i for i, n in enumerate(res2.gene_store.names)
+             if sim.truth.get(n) == "FAM_0000"]
+    grp2 = int(res2.group_of_gene[fam0b[0]])
+    sel2 = np.flatnonzero((res2.regions.group == grp2)
+                          & (res2.regions.genome == 2))
+    assert len(sel2) == 0
