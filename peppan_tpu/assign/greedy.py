@@ -29,6 +29,7 @@ import heapq
 
 import numpy as np
 
+from ..io import alphabet
 from ..io.tokens import GeneStore, GenomeStore
 from ..ops.genome_map import MapHits
 
@@ -54,6 +55,22 @@ class Regions:
 
 def _overlap(a0, a1, b0, b1) -> int:
     return max(0, min(a1, b1) - max(a0, b0) + 1)
+
+
+def _premature_stop_all_frames(seq: np.ndarray, tail_frac: float = 0.9,
+                               table_id: int = 11) -> bool:
+    """True iff EVERY reading frame has a stop codon before tail_frac of
+    the sequence (the final stop of an intact gene sits in the tail)."""
+    n = len(seq)
+    if n < 30:
+        return False
+    cutoff = int(tail_frac * (n // 3))
+    for f in range(3):
+        aa = alphabet.translate(seq[f:], table_id)
+        stops = np.flatnonzero(aa[:cutoff] == alphabet.AA_STOP)
+        if len(stops) == 0:
+            return False
+    return True
 
 
 def greedy_assign(hits: MapHits, group_of_exemplar: dict, genes: GeneStore,
@@ -196,6 +213,16 @@ def greedy_assign(hits: MapHits, group_of_exemplar: dict, genes: GeneStore,
         s, e = int(hits.start[i]), int(hits.end[i])
         ln = e - s + 1
         disrupted = bool(hits.stitched[i]) or (ln - exl) % 3 != 0
+        if not disrupted and hits.qcov[i] >= pseudogene_frac:
+            # nonsense check: an intact copy must have SOME reading frame
+            # free of internal stops (frame offset recovered by trying all
+            # three; local-alignment trimming can shift the boundary)
+            seq = genomes.tokens[
+                int(genomes.contig_offset[int(hits.contig[i])]) + s:
+                int(genomes.contig_offset[int(hits.contig[i])]) + e + 1]
+            if hits.strand[i] < 0:
+                seq = alphabet.revcomp(seq)
+            disrupted = _premature_stop_all_frames(seq)
         intact = (hits.qcov[i] >= pseudogene_frac) and not disrupted
         status[row] = "CDS" if intact else "pseudogene"
         best_ov = 0

@@ -95,3 +95,41 @@ def test_truncated_copy_called_pseudogene(tmp_path):
     sel0 = np.flatnonzero(
         (regions.exemplar == ex_of_fam[0]) & (regions.genome == 0))
     assert all(regions.status[i] == "CDS" for i in sel0)
+
+
+def test_nonsense_mutation_called_pseudogene(tmp_path):
+    """Same-length internal-stop copy (nonsense mutation) -> pseudogene."""
+    import numpy as np
+    from peppan_tpu.io import alphabet as ab
+
+    sim = simulate.simulate(n_genomes=2, n_core=6, n_accessory=0,
+                            mean_gene_codons=200, divergence=0.01, seed=77)
+    (cname, s, e, st, gid) = sim.features[1][1]
+    contig = sim.contigs[1][cname]
+    g = contig[s - 1:e].copy()
+    if st < 0:
+        g = ab.revcomp(g)
+    # plant TAA stops mid-gene (codon-aligned, length preserved)
+    mid = (len(g) // 6) * 3
+    for off in (mid, mid + 30):
+        g[off:off + 3] = ab.encode_dna("TAA")
+    placed = g if st > 0 else ab.revcomp(g)
+    contig[s - 1:e] = placed
+
+    paths = simulate.write_gff(sim, str(tmp_path / "gff"))
+    genomes, genes = gff.load_genomes(paths, incomplete_cds=True)
+    index = genome_map.index_genomes(genomes)
+    ex = np.flatnonzero(genes.genome == 0).astype(np.int64)
+    hits = genome_map.map_exemplars(genes, genomes, ex, index)
+    group_of_ex = {int(e2): int(k) for k, e2 in enumerate(ex)}
+    regions = greedy.greedy_assign(hits, group_of_ex, genes, genomes)
+    fam = sim.truth[gid]
+    ex_fam = [int(e2) for e2 in ex if sim.truth[genes.names[e2]] == fam]
+    sel = np.flatnonzero((regions.exemplar == ex_fam[0])
+                         & (regions.genome == 1))
+    assert len(sel) == 1
+    assert regions.status[int(sel[0])] == "pseudogene"
+    # the intact copy in genome 0 stays CDS
+    sel0 = np.flatnonzero((regions.exemplar == ex_fam[0])
+                          & (regions.genome == 0))
+    assert regions.status[int(sel0[0])] == "CDS"
