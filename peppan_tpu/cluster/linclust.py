@@ -76,7 +76,7 @@ def cluster_genes(store: GeneStore, *, identity: float = 0.9,
     uniq_ids = np.flatnonzero(dup_rep == np.arange(n))
     sub = store.subset(uniq_ids)
 
-    table = prs.build_minimizer_table(sub, k=k, w=w)
+    table = prs.build_minimizer_table(sub, k=k, w=w, batch=batch)
     # linclust-style reductions: (a) only the m lowest-hash minimizers per
     # gene seed the join (mmseqs linclust's per-sequence m-kmer subset);
     # (b) each gene pairs only with its minimizer group's CENTER (longest

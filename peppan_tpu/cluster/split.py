@@ -107,17 +107,50 @@ def split_groups(store: GeneStore, group_of_gene: np.ndarray,
     gene index).
     """
     members = _group_members(group_of_gene)
-    flagged = []
+    flagged = []          # (group, sampled members, unsampled members)
     for grp, mem in sorted(members.items()):
         gen = store.genome[mem]
-        if len(np.unique(gen)) < len(gen) and 2 < len(mem) <= max_members:
-            flagged.append((grp, mem))
+        if len(np.unique(gen)) >= len(gen) or len(mem) <= 2:
+            continue
+        if len(mem) <= max_members:
+            flagged.append((grp, mem, []))
+            continue
+        # oversized group (every group at hundreds of genomes): run the
+        # tree on a deterministic subsample — every member of a duplicated
+        # genome (the paralog signal) plus an even stride of the rest —
+        # then assign unsampled members to the best-matching subgroup by
+        # alignment against subgroup representatives
+        gcount: dict = {}
+        for g in gen:
+            gcount[int(g)] = gcount.get(int(g), 0) + 1
+        dup = [m for m in mem if gcount[int(store.genome[m])] > 1]
+        rest = [m for m in mem if gcount[int(store.genome[m])] == 1]
+        if len(dup) > max_members:   # even the paralog signal oversubscribes
+            # order by within-genome copy rank FIRST so a stride keeps every
+            # copy class represented (genome-major order would keep only
+            # first copies and hide the paralogs from the tree)
+            seen: dict = {}
+            ranked = []
+            for m2 in dup:
+                g2 = int(store.genome[m2])
+                seen[g2] = seen.get(g2, 0) + 1
+                ranked.append((seen[g2], g2, m2))
+            ranked.sort()
+            dup = [m2 for (_r, _g, m2) in ranked]
+            dstride = int(np.ceil(len(dup) / max_members))
+            dup = dup[::dstride][:max_members]
+        room = max(max_members - len(dup), 0)
+        stride = max(1, int(np.ceil(len(rest) / max(room, 1))))
+        sampled = sorted(dup + rest[::stride][:room])
+        unsampled = sorted(set(mem) - set(sampled))
+        if 2 < len(sampled) <= max_members:
+            flagged.append((grp, sampled, unsampled))
     if not flagged:
         return group_of_gene.copy()
 
     # one big batched SW pass over every member pair of every flagged group
     pair_rows = []
-    for grp, mem in flagged:
+    for grp, mem, _uns in flagged:
         n = len(mem)
         for i in range(n):
             for j in range(i + 1, n):
@@ -132,11 +165,11 @@ def split_groups(store: GeneStore, group_of_gene: np.ndarray,
         dist_of[(int(a), int(b))] = d
 
     # batched NJ over flagged groups (single n_max bucket)
-    n_max = max(len(mem) for _, mem in flagged)
+    n_max = max(len(mem) for _, mem, _uns in flagged)
     G = len(flagged)
     dms = np.zeros((G, n_max, n_max), np.float32)
     ns = np.zeros(G, np.int32)
-    for gi, (grp, mem) in enumerate(flagged):
+    for gi, (grp, mem, _uns) in enumerate(flagged):
         n = len(mem)
         ns[gi] = n
         for i in range(n):
@@ -147,7 +180,7 @@ def split_groups(store: GeneStore, group_of_gene: np.ndarray,
 
     out = group_of_gene.copy()
     next_label = int(group_of_gene.max()) + 1
-    for gi, (grp, mem) in enumerate(flagged):
+    for gi, (grp, mem, unsampled) in enumerate(flagged):
         n = int(ns[gi])
         cl = np.asarray(trees["child_l"][gi])
         cr = np.asarray(trees["child_r"][gi])
@@ -211,8 +244,26 @@ def split_groups(store: GeneStore, group_of_gene: np.ndarray,
             c = comp[leaf]
             if c not in order:
                 order[c] = len(order)
+        label_of_comp = {c: (grp if o == 0 else next_label + o - 1)
+                         for c, o in order.items()}
         for leaf, gidx in enumerate(mem):
-            c = order[comp[leaf]]
-            out[gidx] = grp if c == 0 else next_label + c - 1
+            out[gidx] = label_of_comp[comp[leaf]]
         next_label += len(order) - 1
+
+        if unsampled:
+            # assign each unsampled member to the subgroup whose
+            # representative (longest sampled member) it matches best
+            reps = {}
+            for c in np.unique(comp):
+                cand = [mem[l] for l in np.flatnonzero(comp == c)]
+                reps[int(c)] = max(cand, key=lambda m2: (
+                    int(store.length[m2]), -m2))
+            rep_list = sorted(reps.items())
+            pair2 = np.asarray([(u, rep) for u in unsampled
+                                for _c, rep in rep_list], np.int32)
+            h2 = prs.verify_pairs(store, pair2, band=band, batch=batch)
+            ident = h2.identity.reshape(len(unsampled), len(rep_list))
+            best = np.argmax(ident, axis=1)
+            for ui, u in enumerate(unsampled):
+                out[u] = label_of_comp[rep_list[int(best[ui])][0]]
     return out
