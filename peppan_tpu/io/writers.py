@@ -128,6 +128,19 @@ def write_alleles(path: str, gene_store: GeneStore, group_of_gene: np.ndarray,
                         fh.write(s[i:i + 80] + "\n")
 
 
+def write_clusters(path: str, gene_store: GeneStore, exemplar: np.ndarray,
+                   group_of_gene: np.ndarray, group_names: list) -> None:
+    """<prefix>.clust.tab: gene -> cluster exemplar -> ortholog group
+    (the user-facing analog of PEPPAN's mmseqs cluster table)."""
+    with open(path, "w") as fh:
+        fh.write("#gene\texemplar\tgroup\n")
+        for i in range(gene_store.n_genes):
+            g = int(group_of_gene[i])
+            fh.write(f"{gene_store.names[i]}\t"
+                     f"{gene_store.names[int(exemplar[i])]}\t"
+                     f"{group_names[g] if g >= 0 else '-'}\n")
+
+
 def presence_matrix(gene_store: GeneStore, group_of_gene: np.ndarray,
                     n_groups: int, n_genomes: int) -> np.ndarray:
     """int32[n_groups, n_genomes] copy counts (device-friendly scatter)."""

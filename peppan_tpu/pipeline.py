@@ -279,9 +279,12 @@ def _run_inner(paths: list, cfg: PipelineConfig,
         "alleles": pre + ".allele.fna",
         "rtab": pre + ".gene_content.Rtab",
         "csv": pre + ".gene_content.csv",
+        "clust": pre + ".clust.tab",
     }
     writers.write_region_gff(outputs["gff"], genome_store, regions,
                              group_names, gene_store.names)
+    writers.write_clusters(outputs["clust"], gene_store, clusters.exemplar,
+                           group_of_gene, group_names)
     writers.write_alleles(outputs["alleles"], gene_store, group_of_gene,
                           group_names)
     mat = writers.region_presence_matrix(regions, len(group_names),
