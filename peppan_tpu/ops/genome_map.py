@@ -124,7 +124,8 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
                   min_identity: float = 0.65, min_frag_len: int = 50,
                   band: int = 128, slack: int = 64, batch: int = 2048,
                   gap_open: int = 5, gap_extend: int = 2,
-                  min_seeds: int = 2, stitch_gap: int = 300) -> MapHits:
+                  min_seeds: int = 2, stitch_gap: int = 300,
+                  max_seed_occ: int | None = None) -> MapHits:
     """Map every exemplar gene onto every genome."""
     from . import pairs as prs
 
@@ -134,7 +135,12 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
     lo = np.searchsorted(index.hash, tbl.hash, side="left")
     hi = np.searchsorted(index.hash, tbl.hash, side="right")
     cnt = hi - lo
-    keep = (cnt > 0) & (cnt <= 64)         # skip repetitive genome seeds
+    # repetitive-seed cap MUST scale with genome count: a single-copy core
+    # gene's minimizer legitimately occurs once PER GENOME in the index
+    # (a fixed cap of 64 silently blinded mapping beyond ~60 genomes)
+    if max_seed_occ is None:
+        max_seed_occ = max(64, 4 * genomes.n_genomes)
+    keep = (cnt > 0) & (cnt <= max_seed_occ)
     reps = cnt[keep]
     if reps.sum() == 0:
         return MapHits.concat([])

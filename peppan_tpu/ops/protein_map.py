@@ -118,7 +118,7 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
         lo = np.searchsorted(gh, qh, side="left")
         hi = np.searchsorted(gh, qh, side="right")
         cnt = hi - lo
-        keep = (cnt > 0) & (cnt <= 32)
+        keep = (cnt > 0) & (cnt <= 64)   # single-genome index: flat cap ok
         reps = cnt[keep]
         if reps.sum() == 0:
             continue
