@@ -200,7 +200,7 @@ def _gather_align(tokens, qidx, tidx, *, scorer, gap_open, gap_extend,
 
 def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
                  gap_open: int = 5, gap_extend: int = 2, batch: int = 4096,
-                 match: int = 2, mismatch: int = -3) -> PairHits:
+                 match: int = 2, mismatch: int = -3, mesh=None) -> PairHits:
     """Align every candidate pair with banded SW (stats mode) on device.
 
     The padded token store is uploaded once; per batch only (P,) index
@@ -227,7 +227,13 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
         width = int(buckets[np.searchsorted(
             buckets, max(int(store.length.max()), band), side="left")])
         dense = pad_to_dense(store, np.arange(store.n_genes), width)
-        tokens_dev = jax.device_put(dense)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            tokens_dev = jax.device_put(dense, NamedSharding(mesh, P()))
+            idx_sharding = NamedSharding(mesh, P(("data", "db")))
+        else:
+            tokens_dev = jax.device_put(dense)
+            idx_sharding = None
         scorer = sw.dna_scorer(match, mismatch)
 
         launches = []
@@ -240,6 +246,12 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
             ti = np.zeros(rows_padded, np.int32)
             qi[:len(sel)] = qidx[sel]
             ti[:len(sel)] = tidx[sel]
+            if idx_sharding is not None:
+                # data-parallel over the flattened mesh: pairs shard across
+                # devices, the token store is replicated; jit inserts the
+                # all-gather-free local gathers automatically
+                qi = jax.device_put(qi, idx_sharding)
+                ti = jax.device_put(ti, idx_sharding)
             handle = _gather_align(tokens_dev, qi, ti, scorer=scorer,
                                    gap_open=gap_open,
                                    gap_extend=gap_extend, band=band)

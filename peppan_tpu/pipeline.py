@@ -50,7 +50,7 @@ class PipelineResult:
 
 
 def _similarity_groups(store: GeneStore, clusters: linclust.ClusterResult,
-                       cfg: PipelineConfig) -> np.ndarray:
+                       cfg: PipelineConfig, mesh=None) -> np.ndarray:
     """Phase 4: connect exemplars whose alignment passes the match
     thresholds; returns component root per gene (via its exemplar)."""
     ex_ids = clusters.exemplar_ids
@@ -58,7 +58,8 @@ def _similarity_groups(store: GeneStore, clusters: linclust.ClusterResult,
     table = prs.build_minimizer_table(sub, k=cfg.kmer, w=cfg.window)
     cand, _, _ = prs.candidate_pairs(table, max_group=cfg.max_minimizer_group)
     hits = prs.verify_pairs(sub, cand, band=cfg.band, batch=cfg.sw_batch,
-                            gap_open=cfg.gap_open, gap_extend=cfg.gap_extend)
+                            gap_open=cfg.gap_open, gap_extend=cfg.gap_extend,
+                            mesh=mesh)
     keep = ((hits.identity >= cfg.match_identity)
             & (np.maximum(hits.qcov, hits.tcov) >= cfg.match_prop))
     # map subset indices back to gene ids
@@ -129,6 +130,12 @@ def _run_inner(paths: list, cfg: PipelineConfig,
                out_dir: str) -> PipelineResult:
     phase_seconds: dict = {}
 
+    mesh = None
+    if cfg.mesh_data * cfg.mesh_db > 1:
+        from .parallel import mesh as meshmod
+        mesh = meshmod.make_mesh(data=cfg.mesh_data, db=cfg.mesh_db)
+        log.info("mesh: %s", dict(mesh.shape))
+
     os.makedirs(out_dir, exist_ok=True)
     phase_log = metrics.PhaseLog(
         os.path.join(out_dir, cfg.prefix + ".phases.jsonl"))
@@ -174,7 +181,7 @@ def _run_inner(paths: list, cfg: PipelineConfig,
             gene_store, identity=cfg.clust_identity,
             coverage=cfg.clust_match_prop, k=cfg.kmer, w=cfg.window,
             band=cfg.band, max_group=cfg.max_minimizer_group,
-            batch=cfg.sw_batch,
+            batch=cfg.sw_batch, mesh=mesh,
             genome_priority=prio if len(cfg.priority) else None)
         cache.store("cluster", {
             "root": clusters.root, "exemplar": clusters.exemplar,
@@ -189,7 +196,7 @@ def _run_inner(paths: list, cfg: PipelineConfig,
     if ent is not None:
         group_root = ent["group_root"]
     else:
-        group_root = _similarity_groups(gene_store, clusters, cfg)
+        group_root = _similarity_groups(gene_store, clusters, cfg, mesh)
         cache.store("similar_pairs", {"group_root": group_root})
     group_of_gene, group_names = _dense_groups(group_root, gene_store.names)
     tick("similar_pairs", t0)
