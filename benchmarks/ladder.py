@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 
-def run_config(n_genomes: int, *, seed: int = 1000) -> dict:
+def run_config(n_genomes: int, *, seed: int = 1000,
+               warm: bool = False) -> dict:
     from peppan_tpu import pipeline
     from peppan_tpu.config import PipelineConfig
     from peppan_tpu.utils import metrics, simulate
@@ -40,6 +41,11 @@ def run_config(n_genomes: int, *, seed: int = 1000) -> dict:
     tmp = tempfile.mkdtemp(prefix=f"ladder{n_genomes}_")
     paths = simulate.write_gff(sim, tmp)
 
+    if warm:
+        # first run pays the (wildly variable) tunnel compile latency;
+        # the second measures the engine
+        pipeline.run(paths, PipelineConfig(prefix=f"W{n_genomes}"),
+                     out_dir=tmp + "_warm")
     metrics.reset()
     t0 = time.time()
     res = pipeline.run(paths, PipelineConfig(prefix=f"L{n_genomes}"),
@@ -71,6 +77,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", nargs="*", type=int, default=[4, 20])
     ap.add_argument("--json", default=None)
+    ap.add_argument("--warm", action="store_true",
+                    help="run each config twice, report the warm run")
     args = ap.parse_args()
 
     from peppan_tpu.utils import jaxinit
@@ -79,7 +87,7 @@ def main() -> int:
     out = []
     for n in args.configs:
         print(f"=== config: {n} genomes ===", flush=True)
-        r = run_config(n)
+        r = run_config(n, warm=args.warm)
         out.append(r)
         print(json.dumps(r, indent=1), flush=True)
     if args.json:

@@ -11,7 +11,7 @@ ragged data is the #1 TPU risk; we solve it structurally).
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterable, Sequence
+from typing import Sequence
 
 import numpy as np
 

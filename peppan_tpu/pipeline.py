@@ -11,8 +11,10 @@ mount empty at build time):
   7. filt_genes         -> greedy ortholog assignment (assign.greedy)
   8. write_output       -> io.writers
 
-Milestone M1 (SURVEY.md §7.2) runs 1-4 + a cluster-membership assignment +
-8; later milestones swap in the full 5-7 semantics.
+All phases are implemented; expensive ones cache under --continue
+(utils.manifest), counters land in <prefix>.phases.jsonl, and setting
+mesh_data/mesh_db in the config runs the verification paths data-parallel
+over a ('data','db') device mesh.
 """
 
 from __future__ import annotations
