@@ -58,39 +58,46 @@ def estimate_divergence(store: GeneStore, group_of_gene: np.ndarray,
     genes are in the same single-copy group and different genomes, record
     1 - identity for that genome pair; expectation = per-pair median.
     """
-    members = _group_members(group_of_gene)
-    single_copy = set()
-    for grp, mem in members.items():
-        gen = store.genome[mem]
-        if len(np.unique(gen)) == len(gen):
-            single_copy.add(grp)
-    buckets: dict = {}
-    for k in range(len(hits.score)):
-        a, b = hits.pairs[k]
-        if group_of_gene[a] != group_of_gene[b]:
-            continue
-        if int(group_of_gene[a]) not in single_copy:
-            continue
-        ga, gb = int(store.genome[a]), int(store.genome[b])
-        if ga == gb:
-            continue
-        d = 1.0 - float(hits.identity[k])
-        buckets.setdefault((min(ga, gb), max(ga, gb)), []).append(d)
+    # fully vectorized: at 500 genomes the cluster-hit table has ~1M rows
+    labels = np.asarray(group_of_gene)
+    n_groups = int(labels.max()) + 1 if len(labels) else 0
+    # single-copy groups: no (group, genome) cell holds 2+ members
+    gg_key = labels * np.int64(n_genomes) + store.genome
+    valid_g = labels >= 0
+    _uk, cnts = np.unique(gg_key[valid_g], return_counts=True)
+    dup_groups = np.zeros(n_groups + 1, dtype=bool)
+    np.logical_or.at(dup_groups, (_uk // n_genomes).astype(np.int64),
+                     cnts >= 2)
+    a = hits.pairs[:, 0].astype(np.int64)
+    b = hits.pairs[:, 1].astype(np.int64)
+    ga, gb = store.genome[a], store.genome[b]
+    mask = ((labels[a] == labels[b]) & (labels[a] >= 0)
+            & ~dup_groups[np.clip(labels[a], 0, n_groups)]
+            & (ga != gb) & (hits.aln_len > 0))
+    d = (1.0 - hits.identity[mask]).astype(np.float64)
+    pk = (np.minimum(ga, gb)[mask] * np.int64(n_genomes)
+          + np.maximum(ga, gb)[mask])
     expect = np.zeros((n_genomes, n_genomes), np.float32)
-    meds, residuals = [], []
-    for (ga, gb), ds in buckets.items():
-        m = float(np.median(ds))
-        expect[ga, gb] = expect[gb, ga] = m
-        meds.append(m)
-        residuals.extend(d - m for d in ds)
-    overall = float(np.median(meds)) if meds else 0.05
+    meds = np.zeros(0)
+    residuals = np.zeros(0)
+    if len(d):
+        order = np.lexsort((d, pk))
+        pk_s, d_s = pk[order], d[order]
+        starts = np.flatnonzero(np.r_[True, pk_s[1:] != pk_s[:-1]])
+        counts = np.diff(np.r_[starts, len(pk_s)])
+        meds = d_s[starts + (counts - 1) // 2]   # per-pair median (sorted)
+        gi = (pk_s[starts] // n_genomes).astype(np.int64)
+        gj = (pk_s[starts] % n_genomes).astype(np.int64)
+        expect[gi, gj] = meds
+        expect[gj, gi] = meds
+        residuals = d_s - np.repeat(meds, counts)
+    overall = float(np.median(meds)) if len(meds) else 0.05
     expect[expect == 0] = overall
     np.fill_diagonal(expect, 0.0)
     # sigma = robust spread of individual gene distances around their genome
     # pair's expectation (how much single-gene divergence naturally wobbles)
-    if residuals:
-        sigma = float(np.median(np.abs(residuals))) * 1.4826
-        sigma = max(sigma, 0.01)
+    if len(residuals):
+        sigma = max(float(np.median(np.abs(residuals))) * 1.4826, 0.01)
     else:
         sigma = 0.02
     return DivergenceModel(expect=expect, sigma=sigma)

@@ -171,7 +171,6 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
                    | (rls[1:] != rls[:-1])
                    | (np.abs(dgs[1:] - dgs[:-1]) > 64)
                    | (gps[1:] - gps[:-1] > 2000))
-    chain_id = np.cumsum(brk) - 1
     first = np.flatnonzero(brk)
     nseeds = np.diff(np.r_[first, len(order)])
     c_ex, c_ct, c_fwd = exs[first], cts[first], rls[first]
