@@ -120,16 +120,43 @@ def greedy_assign(hits: MapHits, group_of_exemplar: dict, genes: GeneStore,
         lst.sort(key=lambda i: (-int(hits.score[i]), int(hits.genome[i]),
                                 int(hits.contig[i]), int(hits.start[i])))
 
-    claimed: dict = {}          # contig -> list of (start, end, group)
+    # claimed intervals per contig, kept sorted by start for O(log n)
+    # queries (linear scans were the scaling cliff at hundreds of genomes)
+    import bisect
+    claimed_starts: dict = {}   # contig -> sorted [start]
+    claimed_rows: dict = {}     # contig -> parallel [(start, end, group)]
+    max_claim_len: dict = {}    # contig -> longest claimed interval
     taken = np.zeros(m, dtype=bool)
     dropped = np.zeros(m, dtype=bool)
+
+    def add_claim(contig, s, e, g):
+        starts = claimed_starts.setdefault(contig, [])
+        rows = claimed_rows.setdefault(contig, [])
+        j = bisect.bisect_right(starts, s)
+        starts.insert(j, s)
+        rows.insert(j, (s, e, g))
+        max_claim_len[contig] = max(max_claim_len.get(contig, 0), e - s + 1)
+
+    def _scan(contig, lo, hi):
+        """Yield claimed (cs, ce, cg) with [cs, ce] intersecting [lo, hi]."""
+        starts = claimed_starts.get(contig)
+        if not starts:
+            return
+        rows = claimed_rows[contig]
+        reach = max_claim_len.get(contig, 0)
+        j = bisect.bisect_right(starts, hi) - 1
+        while j >= 0 and starts[j] >= lo - reach:
+            cs, ce, cg = rows[j]
+            if ce >= lo:
+                yield (cs, ce, cg)
+            j -= 1
 
     def viable(i) -> bool:
         if taken[i] or dropped[i]:
             return False
         s, e = int(hits.start[i]), int(hits.end[i])
         ln = e - s + 1
-        for (cs, ce, _cg) in claimed.get(int(hits.contig[i]), []):
+        for (cs, ce, _cg) in _scan(int(hits.contig[i]), s, e):
             ov = _overlap(s, e, cs, ce)
             if ov > overlap_frac * min(ln, ce - cs + 1):
                 return False
@@ -142,11 +169,9 @@ def greedy_assign(hits: MapHits, group_of_exemplar: dict, genes: GeneStore,
     def neighbors_of(i) -> set:
         """Groups claimed within synteny_gap of hit i on its contig."""
         s, e = int(hits.start[i]), int(hits.end[i])
-        out = set()
-        for (cs, ce, cg) in claimed.get(int(hits.contig[i]), []):
-            if cs - synteny_gap <= e and ce + synteny_gap >= s:
-                out.add(int(cg))
-        return out
+        return {int(cg) for (_cs, _ce, cg) in
+                _scan(int(hits.contig[i]), s - synteny_gap,
+                      e + synteny_gap)}
 
     heap = [(-group_score(int(g)), int(g)) for g in groups]
     heapq.heapify(heap)
@@ -191,8 +216,8 @@ def greedy_assign(hits: MapHits, group_of_exemplar: dict, genes: GeneStore,
                     dropped[i] = True
                     continue
                 taken[i] = True
-                claimed.setdefault(int(hits.contig[i]), []).append(
-                    (int(hits.start[i]), int(hits.end[i]), g))
+                add_claim(int(hits.contig[i]), int(hits.start[i]),
+                          int(hits.end[i]), g)
                 claim_order.append(i)
 
     # --- status + annotated-gene matching ---------------------------------
