@@ -197,8 +197,11 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
     # genome tokens upload once; per batch only (P,) window descriptors
     # move host->device; window extraction AND minus-strand revcomp happen
     # on device; launches enqueue asynchronously, fetches defer.
+    # coarse window buckets (few shapes >> tight padding: compiles are the
+    # scarce resource on this backend)
     widths = make_length_buckets(
-        max(int(b - a) for (_, _, _, a, b) in cand_rows))
+        max(int(b - a) for (_, _, _, a, b) in cand_rows),
+        base=512, growth=2.0)
     by_bucket: dict = {}
     for row in cand_rows:
         wbi = int(np.searchsorted(widths, row[4] - row[3], side="left"))
@@ -378,7 +381,5 @@ def _bucket_width(n: int) -> int:
 
 
 def _pad_pow2(n: int, cap: int) -> int:
-    p = 32
-    while p < min(n, cap):
-        p *= 2
-    return p
+    small = min(256, cap)
+    return small if n <= small else cap

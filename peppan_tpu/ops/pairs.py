@@ -40,13 +40,12 @@ class MinimizerTable:
 
 
 def _pad_rows(n: int, batch: int) -> int:
-    """Fixed launch sizes (powers of two up to `batch`) so pair/gene counts
-    never trigger fresh kernel compiles (shape churn was the dominant cost
-    on the TPU backend)."""
-    p = 32
-    while p < min(n, batch):
-        p *= 2
-    return p
+    """Fixed launch sizes — exactly TWO per width (256 or `batch`): every
+    distinct shape costs a compile, and tunnel compiles run minutes-scale,
+    so wasted pad compute (~10 ms/launch) is far cheaper than shape
+    variety."""
+    small = min(256, batch)
+    return small if n <= small else batch
 
 
 def build_minimizer_table(store: GeneStore, k: int = 13, w: int = 8,
