@@ -152,6 +152,13 @@ def sw_banded(q: jax.Array, t: jax.Array, *, scorer: Callable,
     # the last slice fits;  i0_real(d) = (d - c0)//2 - B//2, padded index
     # i0p(k) = i0_real(2k) + PADL
     PADL = B // 2 + abs(c0) // 2 + 2
+    # packed-stats field guard: coords+BIAS and aln_len must fit 16 bits
+    BIAS = B + abs(c0) + 2
+    if with_stats and (Mq + B + BIAS >= 65535 or Mt + BIAS >= 65535
+                       or Mq + Mt >= 65535):
+        raise ValueError("stats mode packs coords/lengths into 16-bit "
+                         "halves: sequence widths must stay < ~32k "
+                         f"(got Mq={Mq}, Mt={Mt})")
     i0p0 = (-c0) // 2 - B // 2 + PADL          # slice start at k = 0
     wq_need = (2 * (K - 1) - c0) // 2 - B // 2 + PADL + B
     qi = q.astype(jnp.int32)
@@ -208,6 +215,10 @@ def sw_banded(q: jax.Array, t: jax.Array, *, scorer: Callable,
         is_match = ((qs == ts) & (qs < n_real_tokens)
                     & (ts < n_real_tokens)).astype(jnp.int32)
 
+        # stats live PACKED in int32 halves: SMA = matches<<16 | aln_len,
+        # SQT = (qstart+BIAS)<<16 | (tstart+BIAS).  Halves the carried
+        # arrays (compile time AND per-step ops); field ranges are guarded
+        # at trace time below.
         if parity == 0:
             SH_up, SH_left = SH1, [_shl(x, 0) for x in SH1]
             SE_left = [_shl(x, 0) for x in SE1]
@@ -219,21 +230,17 @@ def sw_banded(q: jax.Array, t: jax.Array, *, scorer: Callable,
         SH_diag = SH2
 
         eo = e_open >= e_ext
-        SEn = [jnp.where(eo, SH_left[0], SE_left[0]),
-               jnp.where(eo, SH_left[1], SE_left[1]) + 1,
-               jnp.where(eo, SH_left[2], SE_left[2]),
-               jnp.where(eo, SH_left[3], SE_left[3])]
+        SEn = [jnp.where(eo, SH_left[0], SE_left[0]) + 1,   # aln_len += 1
+               jnp.where(eo, SH_left[1], SE_left[1])]
         fo = f_open >= f_ext
-        SFn = [jnp.where(fo, SH_up[0], SF_up[0]),
-               jnp.where(fo, SH_up[1], SF_up[1]) + 1,
-               jnp.where(fo, SH_up[2], SF_up[2]),
-               jnp.where(fo, SH_up[3], SF_up[3])]
+        SFn = [jnp.where(fo, SH_up[0], SF_up[0]) + 1,
+               jnp.where(fo, SH_up[1], SF_up[1])]
 
         fresh = Hdiag == 0     # diagonal source empty -> alignment starts here
-        Mdv = jnp.where(fresh, 0, SH_diag[0]) + is_match
-        Adv = jnp.where(fresh, 0, SH_diag[1]) + 1
-        QSdv = jnp.where(fresh, ivec, SH_diag[2])
-        TSdv = jnp.where(fresh, jvec, SH_diag[3])
+        cur_qt = (ivec + BIAS) * 65536 + (jvec + BIAS)
+        dadd = is_match * 65536 + 1
+        SMAdv = jnp.where(fresh, 0, SH_diag[0]) + dadd
+        SQTdv = jnp.where(fresh, cur_qt, SH_diag[1])
 
         pos = Hn > 0
         use_diag = (dv == Hn) & pos
@@ -244,23 +251,18 @@ def sw_banded(q: jax.Array, t: jax.Array, *, scorer: Callable,
             x = jnp.where(use_diag, dvv, x)
             return jnp.where(pos, x, 0)
 
-        SHn = [pick(Mdv, SEn[0], SFn[0]),
-               pick(Adv, SEn[1], SFn[1]),
-               pick(QSdv, SEn[2], SFn[2]),
-               pick(TSdv, SEn[3], SFn[3])]
+        SHn = [pick(SMAdv, SEn[0], SFn[0]),
+               pick(SQTdv, SEn[1], SFn[1])]
 
         # per-lane running best: strictly-greater keeps the earliest
         # anti-diagonal for each lane; cross-lane pick happens after the scan
-        (bS, bD, bI, bJ, bM, bA, bQS, bTS) = best
+        (bS, bD, bIJ, bSMA, bSQT) = best
         upd = Hn > bS
         best = (jnp.where(upd, Hn, bS),
                 jnp.where(upd, d, bD),
-                jnp.where(upd, ivec, bI),
-                jnp.where(upd, jvec, bJ),
-                jnp.where(upd, SHn[0], bM),
-                jnp.where(upd, SHn[1], bA),
-                jnp.where(upd, SHn[2], bQS),
-                jnp.where(upd, SHn[3], bTS))
+                jnp.where(upd, cur_qt, bIJ),
+                jnp.where(upd, SHn[0], bSMA),
+                jnp.where(upd, SHn[1], bSQT))
         return (Hn, H1, En, Fn, SHn, SH1, SEn, SFn, best)
 
     # parity of the shift schedule depends only on (d - c0) & 1 (static)
@@ -283,11 +285,10 @@ def sw_banded(q: jax.Array, t: jax.Array, *, scorer: Callable,
     zeros = jnp.broadcast_to(zrow, (P, B)).astype(jnp.int32)
     negs = zeros + NEG
     if with_stats:
-        s4 = (zeros, zeros, zeros, zeros)
-        best0 = (zeros, zeros, zeros - 1, zeros - 1,
-                 zeros, zeros, zeros, zeros)
-        init = (zeros, zeros, negs, negs, list(s4), list(s4), list(s4),
-                list(s4), best0)
+        s2 = [zeros, zeros]
+        best0 = (zeros, zeros, zeros, zeros, zeros)
+        init = (zeros, zeros, negs, negs, list(s2), list(s2), list(s2),
+                list(s2), best0)
     else:
         init = (zeros, zeros, negs, negs, zeros)
 
@@ -297,7 +298,7 @@ def sw_banded(q: jax.Array, t: jax.Array, *, scorer: Callable,
     if not with_stats:
         return {"score": jnp.max(carry[-1], axis=1)}
 
-    (bS, bD, bI, bJ, bM, bA, bQS, bTS) = carry[-1]
+    (bS, bD, bIJ, bSMA, bSQT) = carry[-1]
     s_star = jnp.max(bS, axis=1, keepdims=True)
     # oracle order: earliest anti-diagonal, then smallest lane (= smallest i)
     # int32 is safe while D * B < 2^31 (true for every bucket width we use:
@@ -311,13 +312,16 @@ def sw_banded(q: jax.Array, t: jax.Array, *, scorer: Callable,
 
     score = s_star[:, 0]
     empty = score <= 0
+    ij = at_lane(bIJ)
+    sma = at_lane(bSMA)
+    sqt = at_lane(bSQT)
     out = {"score": score,
-           "qend": jnp.where(empty, -1, at_lane(bI)),
-           "tend": jnp.where(empty, -1, at_lane(bJ)),
-           "matches": jnp.where(empty, 0, at_lane(bM)),
-           "aln_len": jnp.where(empty, 0, at_lane(bA)),
-           "qstart": jnp.where(empty, 0, at_lane(bQS)),
-           "tstart": jnp.where(empty, 0, at_lane(bTS))}
+           "qend": jnp.where(empty, -1, (ij >> 16) - BIAS),
+           "tend": jnp.where(empty, -1, (ij & 0xFFFF) - BIAS),
+           "matches": jnp.where(empty, 0, sma >> 16),
+           "aln_len": jnp.where(empty, 0, sma & 0xFFFF),
+           "qstart": jnp.where(empty, 0, (sqt >> 16) - BIAS),
+           "tstart": jnp.where(empty, 0, (sqt & 0xFFFF) - BIAS)}
     return out
 
 
