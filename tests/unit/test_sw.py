@@ -200,3 +200,14 @@ def test_n_tokens_score_as_mismatch(rng):
     res, hits = _run_both([q], [t], band=32, width_q=64, width_t=64)
     _assert_equal(res, hits)
     assert res["matches"][0] <= 55
+
+
+def test_stats_mode_width_guard(rng):
+    # packed 16-bit stats fields reject oversized widths with a clear error
+    q = np.full((8, 40000), 5, np.int8)
+    with pytest.raises(ValueError, match="16-bit"):
+        sw.sw_banded(q, q, scorer=sw.dna_scorer(), band=64, with_stats=True)
+    # score-only mode has no such limit (traced fine)
+    r = sw.sw_banded(q[:, :256], q[:, :256], scorer=sw.dna_scorer(),
+                     band=64, with_stats=False)
+    assert "score" in r
