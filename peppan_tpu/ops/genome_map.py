@@ -193,12 +193,13 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
     if not cand_rows:
         return MapHits.concat([])
 
-    # --- align candidates in width buckets (device-resident gathers) ------
-    # genome tokens upload once; per batch only (P,) window descriptors
-    # move host->device; window extraction AND minus-strand revcomp happen
-    # on device; launches enqueue asynchronously, fetches defer.
-    # coarse window buckets (few shapes >> tight padding: compiles are the
-    # scarce resource on this backend)
+    # --- align candidates in width buckets --------------------------------
+    # Windows are extracted and revcomp'd on the HOST: a 2048-row window
+    # batch uploads in ~40 ms, while the device-side mega-gather variant
+    # (indexing 2048 x width windows out of the 10^8-token genome array)
+    # sat in the tunnel compiler for tens of minutes per shape.  Coarse
+    # width buckets + two batch sizes keep the kernel shape count tiny,
+    # launches enqueue asynchronously, fetches defer.
     widths = make_length_buckets(
         max(int(b - a) for (_, _, _, a, b) in cand_rows),
         base=512, growth=2.0)
@@ -207,13 +208,8 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
         wbi = int(np.searchsorted(widths, row[4] - row[3], side="left"))
         by_bucket.setdefault(wbi, []).append(row)
 
-    genome_tokens_dev = jax.device_put(genomes.tokens)
     qw_all = max(_bucket_width(int(genes.length[
         [r[0] for r in cand_rows]].max())), band)
-    # gene token store (exemplars only appear, but index globally)
-    gene_dense = _dense_gene_store(genes, qw_all)
-    gene_tokens_dev = jax.device_put(gene_dense)
-
     scorer = sw.dna_scorer()
     launches = []
     results = []
@@ -223,20 +219,19 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
         while i < len(rows):
             chunk_rows = rows[i:i + batch]
             P = _pad_pow2(len(chunk_rows), batch)
-            exv = np.zeros(P, np.int32)
-            gstart = np.zeros(P, np.int64)
-            vlen = np.zeros(P, np.int32)
-            minus = np.zeros(P, bool)
+            qd = np.full((P, qw_all), alphabet.DNA_PAD, np.int8)
+            td = np.full((P, width), alphabet.DNA_PAD, np.int8)
             for ri, (ex, ci, strand, a, b) in enumerate(chunk_rows):
-                base = int(genomes.contig_offset[ci])
-                exv[ri] = ex
-                vlen[ri] = b - a
-                minus[ri] = strand < 0
-                gstart[ri] = base + (a if strand > 0 else b - width)
-            handle = _window_align(
-                gene_tokens_dev, genome_tokens_dev, exv, gstart, vlen,
-                minus, scorer=scorer, gap_open=gap_open,
-                gap_extend=gap_extend, band=band, width=width)
+                qt = genes.gene_tokens(ex)
+                qd[ri, :len(qt)] = qt[:qw_all]
+                wt = genomes.contig_tokens(ci)[a:b]
+                if strand < 0:
+                    wt = alphabet.revcomp(wt)
+                td[ri, :len(wt)] = wt[:width]
+            td = sw.prep_target_tokens(td)
+            handle = sw.sw_banded_packed(
+                qd, td, scorer=scorer, gap_open=gap_open,
+                gap_extend=gap_extend, band=band)
             launches.append((chunk_rows, handle))
             metrics.add("map_windows", len(chunk_rows))
             metrics.add("sw_lane_cells", P * (qw_all + width - 1) * band)
@@ -279,44 +274,6 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
         stitched=np.zeros(len(res_arr), bool),
     )
     return _dedup_and_stitch(hits, genes, stitch_gap)
-
-
-def _dense_gene_store(genes: GeneStore, width: int) -> np.ndarray:
-    from ..io.tokens import pad_to_dense
-    return pad_to_dense(genes, np.arange(genes.n_genes), width)
-
-
-@functools.partial(jax.jit, static_argnames=("scorer", "gap_open",
-                                             "gap_extend", "band", "width"))
-def _window_align(gene_tokens, genome_tokens, exv, gstart, vlen, minus, *,
-                  scorer, gap_open, gap_extend, band, width):
-    """Gather genome windows on device (incl. minus-strand revcomp) and
-    align the exemplar genes against them; returns packed (7, P) stats.
-
-    Plus strand rows gather [gstart, gstart+width); minus rows gather the
-    SAME width ending at the window's end (gstart = b - width), flip and
-    complement, so row[k] = revcomp(genome)[...] with the valid region at
-    the front either way.  Columns >= vlen are masked to T_PAD.
-    """
-    # NOTE: flat genome offsets are int32 on device (x64 disabled): one
-    # resident token store is limited to 2^31 bases (~2 Gbp, ~400 bacterial
-    # genomes); larger runs shard genomes across stores / the 'db' axis.
-    P = exv.shape[0]
-    qd = jnp.take(gene_tokens, exv, axis=0)
-    cols = jnp.arange(width, dtype=jnp.int32)[None, :]
-    idx = jnp.clip(gstart.astype(jnp.int32)[:, None] + cols, 0,
-                   genome_tokens.shape[0] - 1)
-    fwd = jnp.take(genome_tokens, idx)
-    comp = jnp.where(fwd < 4, 3 - fwd, fwd)
-    rev = jnp.flip(comp, axis=1)
-    td = jnp.where(minus[:, None], rev, fwd).astype(jnp.int32)
-    valid = jnp.arange(width, dtype=jnp.int32)[None, :] < vlen[:, None]
-    td = jnp.where(valid, td, sw.T_PAD)
-    td = jnp.where(td == 5, sw.T_PAD, jnp.where(td == 4, sw.T_N, td))
-    res = sw.sw_banded(qd.astype(jnp.int8), td.astype(jnp.int8),
-                       scorer=scorer, gap_open=gap_open,
-                       gap_extend=gap_extend, band=band, with_stats=True)
-    return jnp.stack([res[k] for k in sw.STATS_KEYS])
 
 
 def _dedup_and_stitch(hits: MapHits, genes: GeneStore,
