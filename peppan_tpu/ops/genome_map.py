@@ -213,6 +213,7 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
     scorer = sw.dna_scorer()
     launches = []
     results = []
+    warmed: set = set()
     for wbi, rows in sorted(by_bucket.items()):
         width = int(widths[wbi])
         i = 0
@@ -232,6 +233,11 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
             handle = sw.sw_banded_packed(
                 qd, td, scorer=scorer, gap_open=gap_open,
                 gap_extend=gap_extend, band=band)
+            # first launch of a new shape syncs (compile-under-async-queue
+            # wedges the tunnelled client; see ops/pairs.py)
+            if (P, width) not in warmed:
+                jax.block_until_ready(handle)
+                warmed.add((P, width))
             launches.append((chunk_rows, handle))
             metrics.add("map_windows", len(chunk_rows))
             metrics.add("sw_lane_cells", P * (qw_all + width - 1) * band)

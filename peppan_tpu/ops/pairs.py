@@ -236,6 +236,7 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
         scorer = sw.dna_scorer(match, mismatch)
 
         launches = []
+        warmed: set = set()
         i = 0
         while i < m:
             j = min(i + batch, m)
@@ -254,6 +255,12 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
             handle = _gather_align(tokens_dev, qi, ti, scorer=scorer,
                                    gap_open=gap_open,
                                    gap_extend=gap_extend, band=band)
+            # block on the FIRST launch of each new kernel shape: issuing a
+            # compile with a deep async queue wedges the tunnelled client
+            # (observed: same shape compiles in 30 s fresh, 20+ min queued)
+            if rows_padded not in warmed:
+                jax.block_until_ready(handle)
+                warmed.add(rows_padded)
             launches.append((sel, handle))
             metrics.add("sw_pairs", len(sel))
             metrics.add("sw_lane_cells",
