@@ -131,9 +131,10 @@ def _sketch_flagged_dev(tokens: jax.Array, k: int, w: int) -> jax.Array:
 
 
 def sketch_flagged(tokens: np.ndarray, k: int = 15, w: int = 10) -> tuple:
-    """(rows, cols, hash, strand) of minimizer positions, single fetch.
+    """(rows, cols, hash, strand) of minimizer positions, chunk-fetched.
     hash has bit 0 cleared (joins must compare this masked value)."""
-    packed = np.asarray(_sketch_flagged_dev(jnp.asarray(tokens), k, w))
+    from ..utils.fetch import fetch_np
+    packed = fetch_np(_sketch_flagged_dev(jnp.asarray(tokens), k, w))
     rows, cols = np.nonzero(packed != INVALID_HASH)
     v = packed[rows, cols]
     return rows, cols, v & np.uint32(0xFFFFFFFE), (v & 1).astype(bool)
@@ -201,7 +202,8 @@ def _aa_sketch_flagged_dev(tokens: jax.Array, k: int, w: int) -> jax.Array:
 
 
 def aa_sketch_flagged(tokens: np.ndarray, k: int = 7, w: int = 6) -> tuple:
-    """(rows, cols, hash) of AA minimizer positions — single fetch."""
-    packed = np.asarray(_aa_sketch_flagged_dev(jnp.asarray(tokens), k, w))
+    """(rows, cols, hash) of AA minimizer positions — chunk-fetched."""
+    from ..utils.fetch import fetch_np
+    packed = fetch_np(_aa_sketch_flagged_dev(jnp.asarray(tokens), k, w))
     rows, cols = np.nonzero(packed != INVALID_HASH)
     return rows, cols, packed[rows, cols]

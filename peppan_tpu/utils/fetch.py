@@ -1,0 +1,27 @@
+"""Chunked device->host fetch helper for the tunnelled TPU backend.
+
+Measured behaviour (2026-08-17): fetch latency is dominated by RANDOM
+per-transfer stalls that look like ~200-300 s connection backoffs — an
+8 MB fetch stalled 199 s while the next 34 MB fetch took 1 s.  Fewer,
+larger fetches therefore minimize expected stall count, so chunking is
+DISABLED by default (the helper remains for environments where size
+itself is the cliff).  jaxinit.setup_cache() performs one small warmup
+fetch at startup to absorb a stall at a predictable point.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+CHUNK_BYTES = 256 << 20   # effectively off; see module docstring
+
+
+def fetch_np(x, chunk_bytes: int = CHUNK_BYTES) -> np.ndarray:
+    """np.asarray(x), sliced along axis 0 when above chunk_bytes."""
+    nbytes = x.nbytes
+    if nbytes <= chunk_bytes or x.ndim == 0 or x.shape[0] <= 1:
+        return np.asarray(x)
+    row_bytes = max(nbytes // x.shape[0], 1)
+    rows = max(int(chunk_bytes // row_bytes), 1)
+    parts = [np.asarray(x[i:i + rows]) for i in range(0, x.shape[0], rows)]
+    return np.concatenate(parts, axis=0)

@@ -45,4 +45,12 @@ def setup_cache(path: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # cache is an optimization; never fail the run
         pass
+    try:
+        # warm the device<->host transfer path once: the tunnel's random
+        # ~200-300 s connection stalls then land here instead of mid-phase
+        import jax.numpy as jnp
+        import numpy as _np
+        _np.asarray(jnp.zeros((256, 1024), jnp.uint32))
+    except Exception:
+        pass
     _done = True
