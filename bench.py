@@ -1,18 +1,24 @@
 """Benchmark entry point — prints ONE JSON line for the driver.
 
 Primary metric (BASELINE.json:2 metric #1): Smith-Waterman cell-updates/s
-per chip for the banded wavefront engine, measured on the real device in
-score-only mode over a production-shaped batch.
+per chip for the banded wavefront engine (score mode, production batch
+shape P=4096).
 
-Cell accounting: we report *lane-cell* updates — every (pair, anti-diagonal,
-band-lane) DP update the hardware actually performs, P * (Mq+Mt-1) * band
-per batch.  This is the honest device-work number (padding included).
+Measurement methodology (this matters on the tunnelled axon backend):
+  - the service CACHES identical computations AND `block_until_ready` can
+    return before execution, so naive repeat-timing reports fantasy
+    numbers (an early version of this bench measured "210 Gcells/s" that
+    was mostly cache-hit latency; a 4k matmul "measured" 4237 TFLOPs on a
+    ~200 TFLOP chip the same way);
+  - therefore: k kernels CHAIN inside one jit (so device time dominates
+    round-trip latency), every timed repetition uses DISTINCT inputs (so
+    the service cache cannot hit), completion is forced by fetching a
+    tiny slice of the result, and the reported time is the k=3 vs k=1
+    SLOPE (subtracting dispatch/fetch overhead).
 
-vs_baseline: BASELINE.json carries no published reference numbers
-("published": {}), so the ratio is anchored to the target in BASELINE.md:
->= 10x a strong multicore CPU MMseqs2-class aligner, taken as 25 GCUPS
-(16-core striped-SW ballpark).  vs_baseline = GCUPS / 25.0; the 10x target
-is therefore vs_baseline >= 10.
+vs_baseline: BASELINE.json has no published reference numbers; the ratio
+anchors to BASELINE.md's target of >= 10x a strong multicore CPU
+MMseqs2-class aligner, taken as 25 GCUPS.  vs_baseline = GCUPS / 25.
 """
 
 from __future__ import annotations
@@ -23,6 +29,7 @@ import time
 import numpy as np
 
 CPU_BASELINE_GCUPS = 25.0
+P, M, B = 4096, 1024, 128
 
 
 def main() -> None:
@@ -33,27 +40,38 @@ def main() -> None:
     from peppan_tpu.ops import sw
 
     rng = np.random.default_rng(0)
-    P, M, B = 512, 1024, 128
-    q = rng.integers(0, 4, (P, M)).astype(np.int8)
-    # targets: mutated copies so alignments are realistic, not degenerate
-    t = q.copy()
-    mask = rng.random(t.shape) < 0.05
-    t[mask] = (t[mask] + 1) % 4
 
-    def run():
-        return sw.sw_banded(q, t, scorer=sw.dna_scorer(), band=B,
-                            with_stats=False)
+    def make_inputs(n):
+        out = []
+        for _ in range(n):
+            q = rng.integers(0, 4, (P, M)).astype(np.int8)
+            t = q.copy()
+            mask = rng.random(t.shape) < 0.05
+            t[mask] = (t[mask] + 1) % 4
+            out.append((jax.device_put(q),
+                        jax.device_put(sw.prep_target_tokens(t))))
+        return out
 
-    jax.block_until_ready(run())  # compile + warmup
-    n_iter = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        res = run()
-    jax.block_until_ready(res)
-    dt = (time.perf_counter() - t0) / n_iter
+    def time_chain(k: int) -> float:
+        @jax.jit
+        def f(qq, tt):
+            acc = 0
+            for i in range(k):
+                acc = acc + sw.sw_banded(
+                    (qq + i) % 4, tt, scorer=sw.dna_scorer(), band=B,
+                    with_stats=False)["score"]
+            return acc[:1]
 
+        ins = make_inputs(4)
+        np.asarray(f(*ins[0]))          # compile + warm
+        t0 = time.perf_counter()
+        for (qq, tt) in ins[1:]:        # distinct inputs defeat the cache
+            np.asarray(f(qq, tt))       # tiny fetch forces completion
+        return (time.perf_counter() - t0) / 3
+
+    per_kernel = (time_chain(3) - time_chain(1)) / 2
     lane_cells = P * (2 * M - 1) * B
-    gcups = lane_cells / dt / 1e9
+    gcups = lane_cells / per_kernel / 1e9
     print(json.dumps({
         "metric": "sw_banded_lane_cell_updates_per_s_per_chip",
         "value": round(gcups * 1e9),
@@ -63,4 +81,13 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # the tunnelled backend intermittently fails whole operations
+    # (FAILED_PRECONDITION) — retry a few times before giving up
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            time.sleep(30)
