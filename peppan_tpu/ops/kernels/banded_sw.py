@@ -19,10 +19,11 @@ The kernel keeps all state in VMEM scratch for the whole anti-diagonal
 loop and emits the per-lane running max (band, block_p) per block; the
 cross-band reduction happens outside.  Bit-equal to the XLA-scan engine.
 
-STATUS (v5e, 2026-08): this kernel measures ~4 Gcells/s vs ~210 Gcells/s
-for the XLA scan in ops.sw — Mosaic lowers each scratch read/write as its
-own VMEM pass, while XLA fuses the whole double-step into one
-register-resident sweep per (8,128) tile.  The recurrence has no DMA or
+STATUS (v5e, 2026-08): this kernel measures ~4 Gcells/s vs ~90 Gcells/s
+for the XLA scan in ops.sw (cache-proof slope measurements; see bench.py
+for why naive timing lies on this backend) — Mosaic lowers each scratch
+read/write as its own VMEM pass, while XLA fuses the whole double-step
+into one register-resident sweep per (8,128) tile.  The recurrence has no DMA or
 layout structure Pallas can exploit beyond what XLA already emits, so the
 scan remains the production engine and this kernel is kept as a verified
 alternate backend / starting point for a register-tiled rewrite
