@@ -124,11 +124,12 @@ def _shl(v: jax.Array, fill) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("scorer", "gap_open",
                                              "gap_extend", "band", "c0",
-                                             "with_stats", "n_real_tokens"))
+                                             "with_stats", "n_real_tokens",
+                                             "unroll"))
 def sw_banded(q: jax.Array, t: jax.Array, *, scorer: Callable,
               gap_open: int = 5, gap_extend: int = 2, band: int = 128,
               c0: int = 0, with_stats: bool = True,
-              n_real_tokens: int = 4) -> dict:
+              n_real_tokens: int = 4, unroll: int = 1) -> dict:
     """Batched banded local alignment.
 
     q: int8[P, Mq]  queries, padded with the alphabet's PAD token (>= 5)
@@ -292,8 +293,12 @@ def sw_banded(q: jax.Array, t: jax.Array, *, scorer: Callable,
     else:
         init = (zeros, zeros, negs, negs, zeros)
 
+    # unroll knob kept for experimentation: measured NEUTRAL at production
+    # batch sizes (92 vs 90 Gcells/s at unroll 4, worse at 8) while
+    # multiplying compile time, so the default stays 1
     carry, _ = jax.lax.scan(double_step, init,
-                            jnp.arange(K, dtype=jnp.int32))
+                            jnp.arange(K, dtype=jnp.int32),
+                            unroll=min(unroll, K))
 
     if not with_stats:
         return {"score": jnp.max(carry[-1], axis=1)}
