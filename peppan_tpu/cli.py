@@ -69,6 +69,50 @@ def _sim_parser(sub):
     return p
 
 
+def _selftest_parser(sub):
+    p = sub.add_parser("selftest",
+                       help="run the bundled examples end-to-end and check "
+                            "recovered groups against the truth table")
+    p.add_argument("-o", "--out_dir", default=None,
+                   help="work dir (default: temp)")
+    return p
+
+
+def _run_selftest(args) -> int:
+    """PEPPAN's --testunit analog: examples/ -> pipeline -> compare the
+    recovered ortholog partition against examples/truth.tsv."""
+    import os
+    import tempfile
+
+    from . import pipeline
+    from .config import PipelineConfig
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    exdir = os.path.join(root, "examples")
+    gffs = sorted(os.path.join(exdir, f) for f in os.listdir(exdir)
+                  if f.endswith(".gff"))
+    truth = {}
+    with open(os.path.join(exdir, "truth.tsv")) as fh:
+        next(fh)
+        for line in fh:
+            g, fam = line.split()
+            truth[g] = fam
+    out = args.out_dir or tempfile.mkdtemp(prefix="peppan_selftest_")
+    res = pipeline.run(gffs, PipelineConfig(prefix="SELFTEST"), out_dir=out)
+    tl = [truth[n] for n in res.gene_store.names]
+    fw, bw = {}, {}
+    ok = True
+    for t, g in zip(tl, res.group_of_gene):
+        if fw.setdefault(t, g) != g or bw.setdefault(int(g), t) != t:
+            ok = False
+    n_fam = len(set(tl))
+    n_grp = len(set(int(g) for g in res.group_of_gene))
+    print(f"selftest: {len(gffs)} genomes, {res.gene_store.n_genes} genes, "
+          f"{n_grp} groups vs {n_fam} truth families -> "
+          f"{'PASS' if ok else 'FAIL'}")
+    return 0 if ok else 1
+
+
 def _parse_parser(sub):
     p = sub.add_parser("parse", help="post-process a PEPPAN.gff")
     p.add_argument("-g", "--gff", required=True, help="<prefix>.PEPPAN.gff")
@@ -95,7 +139,13 @@ def main(argv=None) -> int:
     _pan_parser(sub)
     _parse_parser(sub)
     _sim_parser(sub)
+    _selftest_parser(sub)
     args = ap.parse_args(argv)
+
+    if args.cmd == "selftest":
+        from .utils import jaxinit
+        jaxinit.setup_cache()
+        return _run_selftest(args)
 
     if args.cmd == "simulate":
         from .utils import simulate as simmod

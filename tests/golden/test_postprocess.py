@@ -103,3 +103,14 @@ def test_cli_end_to_end(pan_run, tmp_path):
     for suffix in (".gene_content.Rtab", ".tree.nwk", ".rarefaction.tsv",
                    ".core.aln.fasta", ".core.snps.tsv"):
         assert os.path.exists(str(tmp_path / ("CLIP" + suffix))), suffix
+
+
+def test_cli_selftest(tmp_path):
+    """The bundled-examples self check (reference --testunit analog)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m", "peppan_tpu", "selftest",
+         "-o", str(tmp_path)],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert "PASS" in out.stdout
