@@ -52,6 +52,12 @@ def main() -> None:
                         jax.device_put(sw.prep_target_tokens(t))))
         return out
 
+    # one shared input set: k=1 and k=3 are DIFFERENT computations, so the
+    # service result-cache cannot bridge them, and halving the number of
+    # host->device transfers halves exposure to the backend's random
+    # ~300 s per-transfer stalls
+    ins = make_inputs(4)
+
     def time_chain(k: int) -> float:
         @jax.jit
         def f(qq, tt):
@@ -62,7 +68,6 @@ def main() -> None:
                     with_stats=False)["score"]
             return acc[:1]
 
-        ins = make_inputs(4)
         np.asarray(f(*ins[0]))          # compile + warm
         t0 = time.perf_counter()
         for (qq, tt) in ins[1:]:        # distinct inputs defeat the cache
@@ -81,13 +86,23 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    # the tunnelled backend intermittently fails whole operations
-    # (FAILED_PRECONDITION) — retry a few times before giving up
+    # the tunnelled backend intermittently fails operations outright
+    # (FAILED_PRECONDITION) or wedges individual transfers for ~5 min —
+    # bound each attempt with an alarm and retry
+    import signal
+
+    def _timeout(_sig, _frm):
+        raise TimeoutError("bench attempt exceeded budget (backend stall)")
+
+    signal.signal(signal.SIGALRM, _timeout)
     for attempt in range(3):
         try:
+            signal.alarm(150)
             main()
+            signal.alarm(0)
             break
         except Exception:
+            signal.alarm(0)
             if attempt == 2:
                 raise
-            time.sleep(30)
+            time.sleep(20)
