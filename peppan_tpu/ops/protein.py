@@ -121,7 +121,8 @@ def verify_protein_pairs(store: GeneStore, pair_arr: np.ndarray, *,
                 td[row, :len(tt)] = tt[:width]
             packed = np.asarray(sw.sw_banded_packed(
                 qd, td, scorer=scorer, gap_open=gap_open,
-                gap_extend=gap_extend, band=band, n_real_tokens=20))
+                gap_extend=gap_extend, band=band, n_real_tokens=20,
+                qpad=alphabet.AA_PAD, tpad=alphabet.AA_PAD))
             res = sw.unpack_stats(packed, len(sel))
             out["score"][sel] = res["score"]
             out["matches"][sel] = res["matches"]

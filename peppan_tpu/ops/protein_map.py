@@ -177,7 +177,8 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
             res = sw.unpack_stats(np.asarray(sw.sw_banded_packed(
                 qd, td, scorer=sw.matrix_scorer(alphabet.blosum62_matrix()),
                 gap_open=gap_open, gap_extend=gap_extend, band=band,
-                n_real_tokens=20)), 1)
+                n_real_tokens=20, qpad=alphabet.AA_PAD,
+                tpad=alphabet.AA_PAD)), 1)
             metrics.add("sw_launches", 1)
             metrics.add("protein_map_windows", 1)
             alen = int(res["aln_len"][0])

@@ -125,11 +125,12 @@ def _shl(v: jax.Array, fill) -> jax.Array:
 @functools.partial(jax.jit, static_argnames=("scorer", "gap_open",
                                              "gap_extend", "band", "c0",
                                              "with_stats", "n_real_tokens",
-                                             "unroll"))
+                                             "unroll", "qpad", "tpad"))
 def sw_banded(q: jax.Array, t: jax.Array, *, scorer: Callable,
               gap_open: int = 5, gap_extend: int = 2, band: int = 128,
               c0: int = 0, with_stats: bool = True,
-              n_real_tokens: int = 4, unroll: int = 1) -> dict:
+              n_real_tokens: int = 4, unroll: int = 1,
+              qpad: int = 5, tpad: int = T_PAD) -> dict:
     """Batched banded local alignment.
 
     q: int8[P, Mq]  queries, padded with the alphabet's PAD token (>= 5)
@@ -137,6 +138,15 @@ def sw_banded(q: jax.Array, t: jax.Array, *, scorer: Callable,
     Returns dict of int32[P]: score (always); qend, tend, qstart, tstart,
     matches, aln_len when with_stats.  Coordinates are 0-based inclusive;
     an empty alignment reports score 0 and end coords -1.
+
+    qpad/tpad are the tokens used for the kernel's INTERNAL band padding
+    (left/right slack added so the unclipped band's slices stay in
+    bounds).  They must score <= mismatch against everything under
+    `scorer`, and must never satisfy qpad == tpad for an equality scorer.
+    Defaults (5/6) are correct ONLY for the DNA equality scorer; matrix
+    scorers MUST pass their alphabet's PAD (e.g. alphabet.AA_PAD for
+    BLOSUM62, whose row/col 22 is -100) or out-of-band cells alias real
+    residues and score positively (round-1 advisor finding).
     """
     if c0 % 2 != 0:
         raise ValueError("c0 must be even (both anti-diagonal parities must "
@@ -153,29 +163,33 @@ def sw_banded(q: jax.Array, t: jax.Array, *, scorer: Callable,
     # the last slice fits;  i0_real(d) = (d - c0)//2 - B//2, padded index
     # i0p(k) = i0_real(2k) + PADL
     PADL = B // 2 + abs(c0) // 2 + 2
-    # packed-stats field guard: coords+BIAS and aln_len must fit 16 bits
+    # packed-stats field guard: the packing (ivec+BIAS)*65536 is SIGNED
+    # int32, so the high half must stay <= 32767 or it wraps negative and
+    # silently corrupts qstart/qend (round-1 advisor finding); the low
+    # half (tstart+BIAS / aln_len) must stay < 65536.
     BIAS = B + abs(c0) + 2
-    if with_stats and (Mq + B + BIAS >= 65535 or Mt + BIAS >= 65535
-                       or Mq + Mt >= 65535):
+    if with_stats and (Mq + BIAS > 32767 or min(Mq, Mt) + 1 > 32767
+                       or Mt + BIAS >= 65536 or Mq + Mt >= 65536):
         raise ValueError("stats mode packs coords/lengths into 16-bit "
-                         "halves: sequence widths must stay < ~32k "
-                         f"(got Mq={Mq}, Mt={Mt})")
+                         "halves of a signed int32: query width + bias "
+                         f"must stay <= 32767 (got Mq={Mq}, Mt={Mt}, "
+                         f"BIAS={BIAS})")
     i0p0 = (-c0) // 2 - B // 2 + PADL          # slice start at k = 0
     wq_need = (2 * (K - 1) - c0) // 2 - B // 2 + PADL + B
     qi = q.astype(jnp.int32)
     qi = jnp.pad(qi, ((0, 0), (PADL, max(0, wq_need - Mq - PADL))),
-                 constant_values=5)
+                 constant_values=qpad)
 
     # reversed targets; per half-step lane l reads t[j], j = d - i0_real - l,
     # i.e. trev index  Mt - 1 - d + i0_real + l  (+PADT)
-    # target-side internal padding uses T_PAD (6) so the equality scorer
-    # can never "match" a query pad (5) against a target pad
+    # target-side internal padding defaults to T_PAD (6) so the equality
+    # scorer can never "match" a query pad (5) against a target pad
     trev = jnp.flip(t.astype(jnp.int32), axis=1)
     x0_of = lambda d: Mt - 1 - d + ((d - c0) // 2 - B // 2)  # noqa: E731
     PADT = max(0, -x0_of(2 * K - 1))
     wt_need = max(x0_of(0) + PADT + B + 1, Mt)
     trev = jnp.pad(trev, ((0, 0), (PADT, max(0, wt_need - Mt - PADT))),
-                   constant_values=T_PAD)
+                   constant_values=tpad)
 
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
 
@@ -336,18 +350,21 @@ STATS_KEYS = ("score", "qend", "tend", "matches", "aln_len", "qstart",
 
 @functools.partial(jax.jit, static_argnames=("scorer", "gap_open",
                                              "gap_extend", "band", "c0",
-                                             "n_real_tokens"))
+                                             "n_real_tokens", "qpad",
+                                             "tpad"))
 def sw_banded_packed(q: jax.Array, t: jax.Array, *, scorer: Callable,
                      gap_open: int = 5, gap_extend: int = 2,
                      band: int = 128, c0: int = 0,
-                     n_real_tokens: int = 4) -> jax.Array:
+                     n_real_tokens: int = 4, qpad: int = 5,
+                     tpad: int = T_PAD) -> jax.Array:
     """Stats-mode alignment returning ONE int32[7, P] array (STATS_KEYS
     order).  Exists because each device->host fetch costs ~25 ms of flat
     latency on the tunnelled TPU backend — callers fetch one array per
     launch instead of seven."""
     res = sw_banded(q, t, scorer=scorer, gap_open=gap_open,
                     gap_extend=gap_extend, band=band, c0=c0,
-                    with_stats=True, n_real_tokens=n_real_tokens)
+                    with_stats=True, n_real_tokens=n_real_tokens,
+                    qpad=qpad, tpad=tpad)
     return jnp.stack([res[k] for k in STATS_KEYS])
 
 

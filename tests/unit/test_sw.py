@@ -127,8 +127,24 @@ def test_score_only_matches_stats_mode(rng):
     assert np.array_equal(r1["score"], r2["score"])
 
 
-def test_protein_mode_blosum62(rng):
+def _run_protein(qs, ts, wq, wt, band=64):
     b62 = ab.blosum62_matrix()
+    qp = np.full((len(qs), wq), ab.AA_PAD, np.int8)
+    tp = np.full((len(ts), wt), ab.AA_PAD, np.int8)
+    for i, (q, t) in enumerate(zip(qs, ts)):
+        qp[i, :len(q)] = q
+        tp[i, :len(t)] = t
+    res = sw.sw_banded(qp, tp, scorer=sw.matrix_scorer(b62), gap_open=11,
+                       gap_extend=1, band=band, with_stats=True,
+                       n_real_tokens=20, qpad=ab.AA_PAD, tpad=ab.AA_PAD)
+    res = {k: np.asarray(v) for k, v in res.items()}
+    hits = [sw_oracle.sw_banded_ref(q, t, b62, 11, 1, band=band,
+                                    n_real_tokens=20)
+            for q, t in zip(qs, ts)]
+    return res, hits
+
+
+def test_protein_mode_blosum62(rng):
     qs, ts = [], []
     for _ in range(6):
         L = int(rng.integers(30, 100))
@@ -138,20 +154,43 @@ def test_protein_mode_blosum62(rng):
         t[mut] = rng.integers(0, 20, size=mut.sum())
         qs.append(q)
         ts.append(t)
-    wq = wt = 128
-    qp = np.full((len(qs), wq), ab.AA_PAD, np.int8)
-    tp = np.full((len(ts), wt), ab.AA_PAD, np.int8)
-    for i, (q, t) in enumerate(zip(qs, ts)):
-        qp[i, :len(q)] = q
-        tp[i, :len(t)] = t
-    res = sw.sw_banded(qp, tp, scorer=sw.matrix_scorer(b62), gap_open=11,
-                       gap_extend=1, band=64, with_stats=True)
-    res = {k: np.asarray(v) for k, v in res.items()}
-    hits = [sw_oracle.sw_banded_ref(q, t, b62, 11, 1, band=64)
-            for q, t in zip(qs, ts)]
-    for i, h in enumerate(hits):
-        assert res["score"][i] == h.score
-        assert res["qend"][i] == h.qend
+    res, hits = _run_protein(qs, ts, 128, 128)
+    _assert_equal(res, hits)
+
+
+def test_protein_offset_alignment_full_stats(rng):
+    """Advisor round-1 regression: alignments NOT anchored at (0, 0).
+
+    The kernel's internal band padding used DNA pad tokens (5/6) that
+    alias real residues under BLOSUM62 (5='G' scores +6, 6='H' scores
+    +8), inflating score/qstart/aln_len whenever the band's unclipped
+    cells sat outside the real matrix.  Offset starts + full stats
+    equality with the oracle detect that leak."""
+    qs, ts = [], []
+    # alignment starts at i=0, j>0 and ends before the target end
+    for _ in range(6):
+        L = int(rng.integers(40, 80))
+        core = rng.integers(0, 20, size=L).astype(np.int8)
+        pre = rng.integers(1, 30)
+        post = rng.integers(1, 30)
+        t = np.concatenate([
+            rng.integers(0, 20, size=pre).astype(np.int8), core,
+            rng.integers(0, 20, size=post).astype(np.int8)])
+        qs.append(core)
+        ts.append(t)
+    res, hits = _run_protein(qs, ts, 128, 192, band=64)
+    _assert_equal(res, hits)
+
+
+def test_protein_g_prefixed_target_pad_leak(rng):
+    """The advisor's literal reproduction: query vs a G-prefixed target
+    previously returned score 360 / qstart=-4 where the oracle says 336.
+    qstart must never be negative under a matrix scorer."""
+    q = rng.integers(0, 20, size=60).astype(np.int8)
+    t = np.concatenate([np.full(8, 5, np.int8), q])   # 5 = 'G'
+    res, hits = _run_protein([q], [t], 64, 128, band=64)
+    _assert_equal(res, hits)
+    assert res["qstart"][0] >= 0 and res["tstart"][0] >= 0
 
 
 def test_traceback_consistent_with_banded(rng):
