@@ -78,7 +78,16 @@ def greedy_assign(hits: MapHits, group_of_exemplar: dict, genes: GeneStore,
                   pseudogene_frac: float = 0.8, synteny_gap: int = 300,
                   synteny_diff: float = 1.2, neighbor_check: bool = True,
                   locus_dominance: float = 0.65,
-                  exemplar_len: dict | None = None) -> Regions:
+                  exemplar_len: dict | None = None,
+                  resplit_fn=None) -> Regions:
+    """See module docstring.  resplit_fn, when given, implements the
+    reference loop's re-triggered paralog split (SURVEY.md §3.3): when a
+    popped group is about to claim >= 2 disjoint loci in one genome, the
+    group's surviving hits are handed to resplit_fn(group, hit_indices)
+    -> dense labels (or None); a non-trivial partition re-queues each
+    subgroup instead of claiming, so nested paralogs and shared mobile
+    elements get separated by the divergence test rather than swallowed
+    by the strongest group.  Each group is re-split at most once."""
     m = len(hits)
     hit_group = np.asarray([group_of_exemplar[int(e)] for e in hits.exemplar],
                            np.int64)
@@ -176,6 +185,33 @@ def greedy_assign(hits: MapHits, group_of_exemplar: dict, genes: GeneStore,
     heap = [(-group_score(int(g)), int(g)) for g in groups]
     heapq.heapify(heap)
     claim_order = []
+    next_label = int(max(group_of_exemplar.values(), default=-1)) + 1
+    resplit_tried: set = set()
+
+    def _disjoint_multi_copy(per_genome: dict) -> bool:
+        """True when some genome holds >= 2 mutually non-overlapping viable
+        placements — the paralog signal that triggers the re-split."""
+        for _gm, lst in per_genome.items():
+            if len(lst) < 2:
+                continue
+            nonov = [lst[0]]
+            for i in lst[1:]:
+                s, e = int(hits.start[i]), int(hits.end[i])
+                ln = e - s + 1
+                ok = True
+                for j in nonov:
+                    if hits.contig[i] != hits.contig[j]:
+                        continue
+                    js, je = int(hits.start[j]), int(hits.end[j])
+                    ov = _overlap(s, e, js, je)
+                    if ov > overlap_frac * min(ln, je - js + 1):
+                        ok = False
+                        break
+                if ok:
+                    nonov.append(i)
+                if len(nonov) >= 2:
+                    return True
+        return False
 
     while heap:
         negs, g = heapq.heappop(heap)
@@ -191,6 +227,43 @@ def greedy_assign(hits: MapHits, group_of_exemplar: dict, genes: GeneStore,
         for i in hits_of_group[g]:
             if viable(i):
                 per_genome.setdefault(int(hits.genome[i]), []).append(i)
+
+        if (resplit_fn is not None and g not in resplit_tried
+                and _disjoint_multi_copy(per_genome)):
+            resplit_tried.add(g)
+            live = sorted(i for i in hits_of_group[g]
+                          if not taken[i] and not dropped[i])
+            labels = resplit_fn(g, np.asarray(live, np.int64))
+            if labels is not None and len(np.unique(labels)) > 1:
+                labels = np.asarray(labels)
+                # deterministic label map: the sublabel of the smallest hit
+                # index keeps g; the rest get fresh ids in first-occurrence
+                # order over the (sorted) live list
+                label_of: dict = {}
+                for pos, i in enumerate(live):
+                    sub = int(labels[pos])
+                    if sub not in label_of:
+                        label_of[sub] = (g if not label_of
+                                         else next_label + len(label_of) - 1)
+                next_label += len(label_of) - 1
+                new_lists: dict = {lbl: [] for lbl in label_of.values()}
+                for pos, i in enumerate(live):
+                    lbl = label_of[int(labels[pos])]
+                    hit_group[i] = lbl
+                    new_lists[lbl].append(i)
+                for lbl, lst in new_lists.items():
+                    lst.sort(key=lambda i: (-int(hits.score[i]),
+                                            int(hits.genome[i]),
+                                            int(hits.contig[i]),
+                                            int(hits.start[i])))
+                    hits_of_group[lbl] = lst
+                    sc = group_score(lbl)
+                    if sc > 0:
+                        heapq.heappush(heap, (-sc, lbl))
+                # the original label's list was replaced above iff some
+                # sublabel mapped to g; if not (can't happen: first sub maps
+                # to g), fall through safely
+                continue
         # consensus neighbourhood from best hits (for synteny scoring)
         consensus: dict = {}
         if neighbor_check:

@@ -103,6 +103,140 @@ def estimate_divergence(store: GeneStore, group_of_gene: np.ndarray,
     return DivergenceModel(expect=expect, sigma=sigma)
 
 
+def _cut_components(n: int, cl: np.ndarray, cr: np.ndarray, root: int,
+                    parent_arr: np.ndarray, dm: np.ndarray,
+                    genomes: np.ndarray, div: DivergenceModel,
+                    allowed_sigma: float) -> np.ndarray:
+    """Divergence-test every edge of one NJ tree; return int64[n] component
+    label (a leaf index) per leaf after cutting the failing edges.
+
+    Rooting-free edge test: every tree edge induces a leaf bipartition
+    (A = clade below, B = rest).  The edge is a duplication boundary iff
+    even the CLOSEST cross pair is more diverged than the genome
+    expectation allows (min is robust to substructure on either side; a
+    mean would be inflated by distant sub-clades).  NJ's arbitrary root
+    placement cannot affect bipartitions of the unrooted tree.
+    """
+
+    def edge_cut(A, Bv):
+        cross = dm[np.ix_(A, Bv)]
+        if cross.size >= 25:
+            stat = float(np.quantile(cross, 0.1))
+        else:
+            stat = float(cross.min())
+        exp = float(np.mean(div.expected(
+            genomes[A][:, None], genomes[Bv][None, :])))
+        return stat > exp + allowed_sigma * div.sigma
+
+    all_leaves = list(range(n))
+    uf_parent = list(range(2 * n - 1))
+
+    def find(a):
+        while uf_parent[a] != a:
+            uf_parent[a] = uf_parent[uf_parent[a]]
+            a = uf_parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            uf_parent[max(ra, rb)] = min(ra, rb)
+
+    # the root's two child edges are one unrooted edge: test once
+    A = nj.leaves_under(cl, cr, int(cl[root]), n)
+    Bv = sorted(set(all_leaves) - set(A))
+    if not (A and Bv and edge_cut(A, Bv)):
+        union(int(cl[root]), root)
+        union(int(cr[root]), root)
+    for x in range(2 * n - 2):         # every non-root node's up-edge
+        if parent_arr[x] < 0 or parent_arr[x] == root:
+            continue
+        A = nj.leaves_under(cl, cr, x, n)
+        Bv = sorted(set(all_leaves) - set(A))
+        if not (A and Bv and edge_cut(A, Bv)):
+            union(x, int(parent_arr[x]))
+    return np.array([find(lf) for lf in range(n)], np.int64)
+
+
+def partition_sequences(seqs: list, genomes: np.ndarray,
+                        div: DivergenceModel, *, allowed_sigma: float = 3.0,
+                        band: int = 128, batch: int = 1024,
+                        max_members: int = 128) -> np.ndarray:
+    """NJ + divergence-cut partition of arbitrary token sequences.
+
+    This is the re-triggered filt_per_group of the reference's assignment
+    loop (SURVEY.md §3.3: the greedy loop re-invokes the paralog splitter
+    when a group's surviving placements look paralogous).  Unlike
+    split_groups it operates on MAPPED LOCUS sequences, so unannotated
+    copies and pseudogene loci participate in the tree.
+
+    Returns int64[len(seqs)] subgroup labels, dense 0..k-1 ordered by
+    first occurrence (label 0 contains seqs[0]'s component ... etc.),
+    or all-zeros when no edge fails the divergence test.
+    """
+    n = len(seqs)
+    genomes = np.asarray(genomes)
+    if n <= 2:
+        return np.zeros(n, np.int64)
+    # deterministic stride subsample for oversized hit sets; unsampled
+    # members join the subgroup of their best-matching representative
+    if n > max_members:
+        stride = int(np.ceil(n / max_members))
+        sampled = list(range(0, n, stride))[:max_members]
+    else:
+        sampled = list(range(n))
+    unsampled = [i for i in range(n) if i not in set(sampled)]
+    store = GeneStore.from_sequences([seqs[i] for i in sampled],
+                                     genome=genomes[sampled])
+    ns = len(sampled)
+    pair_arr = np.asarray([(i, j) for i in range(ns)
+                           for j in range(i + 1, ns)], np.int32)
+    hits = prs.verify_pairs(store, pair_arr, band=band, batch=batch)
+    dm = np.zeros((ns, ns), np.float32)
+    for k2 in range(len(pair_arr)):
+        a, b = pair_arr[k2]
+        d = 1.0 - float(hits.identity[k2]) if hits.aln_len[k2] > 0 else 1.0
+        dm[a, b] = dm[b, a] = d
+    # pad the NJ width to a power-of-two grid: n_max is a static jit arg
+    # and shape churn = recompiles (CLAUDE.md backend note)
+    n_pad = 4
+    while n_pad < ns:
+        n_pad *= 2
+    dmp = np.zeros((n_pad, n_pad), np.float32)
+    dmp[:ns, :ns] = dm
+    trees = nj.nj_batched(jnp.asarray(dmp[None]),
+                          jnp.asarray([ns], np.int32), n_max=n_pad)
+    comp = _cut_components(
+        ns, np.asarray(trees["child_l"][0]), np.asarray(trees["child_r"][0]),
+        int(trees["root"][0]), np.asarray(trees["parent"][0]), dm,
+        store.genome, div, allowed_sigma)
+    # dense labels by first occurrence over the SAMPLED order
+    label_of_comp: dict = {}
+    out = np.zeros(n, np.int64)
+    for si, i in enumerate(sampled):
+        c = int(comp[si])
+        if c not in label_of_comp:
+            label_of_comp[c] = len(label_of_comp)
+        out[i] = label_of_comp[c]
+    if unsampled and len(label_of_comp) > 1:
+        # representative per subgroup: longest sampled member, then first
+        reps = {}
+        for c, lbl in label_of_comp.items():
+            members = [sampled[si] for si in range(ns) if comp[si] == c]
+            reps[lbl] = max(members, key=lambda i: (len(seqs[i]), -i))
+        rep_items = sorted(reps.items())
+        all_seqs = GeneStore.from_sequences(
+            [seqs[i] for i in range(n)], genome=genomes)
+        pair2 = np.asarray([(u, rep) for u in unsampled
+                            for _lbl, rep in rep_items], np.int32)
+        h2 = prs.verify_pairs(all_seqs, pair2, band=band, batch=batch)
+        ident = h2.identity.reshape(len(unsampled), len(rep_items))
+        best = np.argmax(ident, axis=1)
+        for ui, u in enumerate(unsampled):
+            out[u] = rep_items[int(best[ui])][0]
+    return out
+
+
 def split_groups(store: GeneStore, group_of_gene: np.ndarray,
                  div: DivergenceModel, *, allowed_sigma: float = 3.0,
                  max_members: int = 128, band: int = 128,
@@ -189,58 +323,11 @@ def split_groups(store: GeneStore, group_of_gene: np.ndarray,
     next_label = int(group_of_gene.max()) + 1
     for gi, (grp, mem, unsampled) in enumerate(flagged):
         n = int(ns[gi])
-        cl = np.asarray(trees["child_l"][gi])
-        cr = np.asarray(trees["child_r"][gi])
-        root = int(trees["root"][gi])
-        dm = dms[gi, :n, :n]
-        genomes = store.genome[mem]
-
-        # rooting-free edge test: every tree edge induces a leaf bipartition
-        # (A = clade below, B = rest).  The edge is a duplication boundary
-        # iff even the CLOSEST cross pair is more diverged than the genome
-        # expectation allows (min is robust to substructure on either side;
-        # a mean would be inflated by distant sub-clades).  NJ's arbitrary
-        # root placement cannot affect bipartitions of the unrooted tree.
-        parent_arr = np.asarray(trees["parent"][gi])
-
-        def edge_cut(A, Bv):
-            cross = dm[np.ix_(A, Bv)]
-            if cross.size >= 25:
-                stat = float(np.quantile(cross, 0.1))
-            else:
-                stat = float(cross.min())
-            exp = float(np.mean(div.expected(
-                genomes[A][:, None], genomes[Bv][None, :])))
-            return stat > exp + allowed_sigma * div.sigma
-
-        all_leaves = list(range(n))
-        uf_parent = list(range(2 * n - 1))
-
-        def find(a):
-            while uf_parent[a] != a:
-                uf_parent[a] = uf_parent[uf_parent[a]]
-                a = uf_parent[a]
-            return a
-
-        def union(a, b):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                uf_parent[max(ra, rb)] = min(ra, rb)
-
-        # the root's two child edges are one unrooted edge: test once
-        A = nj.leaves_under(cl, cr, int(cl[root]), n)
-        Bv = sorted(set(all_leaves) - set(A))
-        if not (A and Bv and edge_cut(A, Bv)):
-            union(int(cl[root]), root)
-            union(int(cr[root]), root)
-        for x in range(2 * n - 2):         # every non-root node's up-edge
-            if parent_arr[x] < 0 or parent_arr[x] == root:
-                continue
-            A = nj.leaves_under(cl, cr, x, n)
-            Bv = sorted(set(all_leaves) - set(A))
-            if not (A and Bv and edge_cut(A, Bv)):
-                union(x, int(parent_arr[x]))
-        comp = np.array([find(lf) for lf in range(n)], np.int64)
+        comp = _cut_components(
+            n, np.asarray(trees["child_l"][gi]),
+            np.asarray(trees["child_r"][gi]), int(trees["root"][gi]),
+            np.asarray(trees["parent"][gi]), dms[gi, :n, :n],
+            store.genome[mem], div, allowed_sigma)
         # only actually split if >1 component materialized
         if len(np.unique(comp)) <= 1:
             continue

@@ -30,7 +30,7 @@ from .assign import greedy
 from .cluster import linclust, split
 from .cluster.unionfind import connected_components
 from .config import PipelineConfig
-from .io import gff, writers
+from .io import alphabet, gff, writers
 from .io.tokens import GeneStore, GenomeStore
 from .ops import genome_map, pairs as prs, protein, protein_map
 from .utils import manifest, metrics
@@ -267,10 +267,46 @@ def _run_inner(paths: list, cfg: PipelineConfig,
     t0 = time.time()
     group_of_exemplar = {int(e): int(group_of_gene[int(e)])
                          for e in clusters.exemplar_ids}
+
+    # reference loop's re-triggered split (SURVEY §3.3): when the greedy
+    # loop sees a group about to claim >=2 disjoint loci in one genome, the
+    # loci sequences themselves get the NJ + divergence test (this catches
+    # merged families whose second copy is unannotated, which the
+    # gene-level phase-6 split cannot see)
+    resplit_fn = None
+    if cfg.paralog_split:
+        div_model = split.estimate_divergence(
+            gene_store, group_of_gene, clusters.hits, genome_store.n_genomes)
+
+        def resplit_fn(_gid, hit_idx, _mh=map_hits):
+            seqs = []
+            for i in map(int, hit_idx):
+                off = int(genome_store.contig_offset[int(_mh.contig[i])])
+                seq = genome_store.tokens[off + int(_mh.start[i]):
+                                          off + int(_mh.end[i]) + 1]
+                if _mh.strand[i] < 0:
+                    seq = alphabet.revcomp(seq)
+                seqs.append(seq)
+            return split.partition_sequences(
+                seqs, _mh.genome[np.asarray(hit_idx, np.int64)], div_model,
+                allowed_sigma=cfg.allowed_sigma, band=cfg.band,
+                batch=cfg.sw_batch)
+
     regions = greedy.greedy_assign(
         map_hits, group_of_exemplar, gene_store, genome_store,
         pseudogene_frac=cfg.pseudogene_frac, synteny_gap=cfg.synteny_gap,
-        synteny_diff=cfg.synteny_diff, neighbor_check=cfg.neighbor_check)
+        synteny_diff=cfg.synteny_diff, neighbor_check=cfg.neighbor_check,
+        resplit_fn=resplit_fn)
+    # labels minted by the re-split get deterministic names: the first
+    # region's exemplar gene name + "_r"
+    order_r = np.argsort(regions.group, kind="stable")
+    for i in map(int, order_r):
+        lbl = int(regions.group[i])
+        while len(group_names) <= lbl:
+            group_names.append(None)
+        if group_names[lbl] is None:
+            group_names[lbl] = (
+                gene_store.names[int(regions.exemplar[i])] + "_r")
     # unify: a gene matched by a region adopts the region's group
     for i in range(len(regions)):
         gi = int(regions.gene_idx[i])
