@@ -32,6 +32,7 @@ import numpy as np
 from ..io import alphabet
 from ..io.tokens import GeneStore, GenomeStore
 from ..ops.genome_map import MapHits
+from . import disrupt
 
 
 @dataclasses.dataclass
@@ -48,6 +49,8 @@ class Regions:
     identity: np.ndarray   # float32[m]
     status: np.ndarray     # object[m]: 'CDS' | 'pseudogene'
     gene_idx: np.ndarray   # int64[m] matching annotated gene or -1
+    disrupt_pos: np.ndarray  # int64[m] fwd-strand coord of the first
+    #                          frameshift/nonsense event, -1 = none/intact
 
     def __len__(self):
         return len(self.group)
@@ -55,22 +58,6 @@ class Regions:
 
 def _overlap(a0, a1, b0, b1) -> int:
     return max(0, min(a1, b1) - max(a0, b0) + 1)
-
-
-def _premature_stop_all_frames(seq: np.ndarray, tail_frac: float = 0.9,
-                               table_id: int = 11) -> bool:
-    """True iff EVERY reading frame has a stop codon before tail_frac of
-    the sequence (the final stop of an intact gene sits in the tail)."""
-    n = len(seq)
-    if n < 30:
-        return False
-    cutoff = int(tail_frac * (n // 3))
-    for f in range(3):
-        aa = alphabet.translate(seq[f:], table_id)
-        stops = np.flatnonzero(aa[:cutoff] == alphabet.AA_STOP)
-        if len(stops) == 0:
-            return False
-    return True
 
 
 def greedy_assign(hits: MapHits, group_of_exemplar: dict, genes: GeneStore,
@@ -305,23 +292,45 @@ def greedy_assign(hits: MapHits, group_of_exemplar: dict, genes: GeneStore,
     for gi in range(genes.n_genes):
         genes_by_contig.setdefault(int(genes.contig[gi]), []).append(gi)
 
+    disrupt_pos = np.full(len(idx), -1, np.int64)
     for row, i in enumerate(idx):
-        exl = int(exemplar_len[int(hits.exemplar[i])]) if exemplar_len \
-            else int(genes.length[int(hits.exemplar[i])])
+        ex = int(hits.exemplar[i])
+        exl = int(exemplar_len[ex]) if exemplar_len \
+            else int(genes.length[ex])
         s, e = int(hits.start[i]), int(hits.end[i])
         ln = e - s + 1
-        disrupted = bool(hits.stitched[i]) or (ln - exl) % 3 != 0
-        if not disrupted and hits.qcov[i] >= pseudogene_frac:
-            # nonsense check: an intact copy must have SOME reading frame
-            # free of internal stops (frame offset recovered by trying all
-            # three; local-alignment trimming can shift the boundary)
-            seq = genomes.tokens[
-                int(genomes.contig_offset[int(hits.contig[i])]) + s:
-                int(genomes.contig_offset[int(hits.contig[i])]) + e + 1]
-            if hits.strand[i] < 0:
-                seq = alphabet.revcomp(seq)
-            disrupted = _premature_stop_all_frames(seq)
-        intact = (hits.qcov[i] >= pseudogene_frac) and not disrupted
+        qcov_ok = hits.qcov[i] >= pseudogene_frac
+        seq = genomes.tokens[
+            int(genomes.contig_offset[int(hits.contig[i])]) + s:
+            int(genomes.contig_offset[int(hits.contig[i])]) + e + 1]
+        if hits.strand[i] < 0:
+            seq = alphabet.revcomp(seq)
+        # disruption decision tree (SURVEY §7.3.3 two-pass traceback; the
+        # CIGAR pass runs only where cheap screens cannot decide):
+        #   1. stitched fragments or a net indel that breaks frame parity
+        #      -> CIGAR pass localizes the frameshift / in-frame rescue;
+        #   2. parity-clean regions: count frames with premature stops —
+        #      0 = intact whatever the frame, 3 = nonsense whatever the
+        #      frame, otherwise the CIGAR pass resolves the TRUE frame.
+        disrupted = False
+        need_tb = bool(hits.stitched[i]) or (ln - exl) % 3 != 0
+        if not need_tb and qcov_ok:
+            k = disrupt.stop_frames(seq)
+            if k == 3:
+                disrupted = True
+            elif k > 0:
+                need_tb = True
+        if need_tb and qcov_ok:
+            exseq = genes.gene_tokens(ex)
+            stats_tb, cigar = disrupt.region_traceback(exseq, seq)
+            d = disrupt.classify(stats_tb, cigar, exseq, seq)
+            disrupted = d.disrupted
+            if d.disrupted:
+                p = d.frameshift_pos if d.frameshift_pos >= 0 \
+                    else d.premature_stop_pos
+                # locus-local -> forward-strand genome coordinate
+                disrupt_pos[row] = (s + p if hits.strand[i] > 0 else e - p)
+        intact = qcov_ok and not disrupted
         status[row] = "CDS" if intact else "pseudogene"
         best_ov = 0
         for gi in genes_by_contig.get(int(hits.contig[i]), []):
@@ -342,4 +351,5 @@ def greedy_assign(hits: MapHits, group_of_exemplar: dict, genes: GeneStore,
         identity=hits.identity[idx],
         status=status,
         gene_idx=gene_idx,
+        disrupt_pos=disrupt_pos,
     )

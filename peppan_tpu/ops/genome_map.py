@@ -279,13 +279,20 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
         qcov=np.asarray([r[8] for r in res_arr], np.float32),
         stitched=np.zeros(len(res_arr), bool),
     )
-    return _dedup_and_stitch(hits, genes, stitch_gap)
+    return dedup_and_stitch(hits, genes, stitch_gap)
 
 
-def _dedup_and_stitch(hits: MapHits, genes: GeneStore,
-                      stitch_gap: int) -> MapHits:
+def dedup_and_stitch(hits: MapHits, genes: GeneStore,
+                     stitch_gap: int) -> MapHits:
     """Drop duplicate/contained same-exemplar hits; merge same-exemplar
-    fragments on one contig/strand separated by <= stitch_gap."""
+    fragments on one contig/strand separated by <= stitch_gap.
+
+    Also the frameshift-aware DIAMOND analog (SURVEY.md §2.2): protein
+    hits of one exemplar that landed in different reading frames arrive
+    as separate fragments and merge here into one disrupted region, as do
+    mixed DNA+protein fragment pairs (uberBlast's cross-method HSP
+    stitching) — the pipeline re-runs this pass after concatenating the
+    protein-search hits."""
     keep: list = []
     order = np.lexsort((-hits.score, hits.start, hits.strand.astype(int),
                         hits.contig, hits.exemplar))

@@ -1,0 +1,139 @@
+"""Pallas banded-SW v2: register-resident SSA carries (score mode).
+
+Round-1's kernel (banded_sw.py) kept the wavefront state in VMEM scratch
+refs; Mosaic lowered every half-step's scratch read/write as its own VMEM
+pass, landing at ~4 Gcells/s vs ~90 for the XLA scan.  This rewrite keeps
+the state as LOOP-CARRIED SSA VALUES through `jax.lax.fori_loop` and fully
+unrolls the CHUNK half-steps inside the loop body, so within a chunk the
+(band, block_p) state tiles live in vector registers and spill to VMEM at
+most once per chunk boundary — the "per-chunk SSA carries" plan from the
+v1 docstring.
+
+Same band geometry / shift schedule / tie-breaks as ops.sw.sw_banded
+(see its module docstring); bit-equal scores by construction and by test
+(tests/unit/test_pallas_kernel.py drives both backends).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -(10 ** 6)
+CHUNK = 8  # double-steps per aligned load (sublane alignment quantum)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "match", "mismatch", "gap_open", "gap_extend", "band", "c0", "block_p",
+    "interpret"))
+def sw_banded_scores_pallas_v2(q: jax.Array, t: jax.Array, *,
+                               match: int = 2, mismatch: int = -3,
+                               gap_open: int = 5, gap_extend: int = 2,
+                               band: int = 128, c0: int = 0,
+                               block_p: int = 128,
+                               interpret: bool = False) -> jax.Array:
+    """Score-only banded SW; bit-equal to ops.sw.sw_banded(score mode).
+
+    q: int8[P, Mq] (query PAD=5 convention), t: int8[P, Mt]
+    (prep_target_tokens convention).  P must be a multiple of block_p.
+    Returns int32[P] best local score per pair.
+    """
+    if c0 % 2 != 0:
+        raise ValueError("c0 must be even")
+    P, Mq = q.shape
+    _, Mt = t.shape
+    B = band
+    if P % block_p:
+        raise ValueError(f"P={P} not a multiple of block_p={block_p}")
+    open_first = gap_open + gap_extend
+
+    D = Mq + Mt - 1
+    K = (D + 1) // 2
+    Kpad = ((K + CHUNK - 1) // CHUNK) * CHUNK
+
+    # padding scheme of ops.sw.sw_banded, extended to cover Kpad steps and
+    # the chunk-aligned loads (identical to banded_sw.py v1)
+    PADL = B // 2 + abs(c0) // 2 + 2
+    i0p0 = (-c0) // 2 - B // 2 + PADL
+    wq_need = (2 * (Kpad - 1) - c0) // 2 - B // 2 + PADL + B + 2 * CHUNK
+    qT = jnp.pad(q.astype(jnp.int32),
+                 ((0, 0), (PADL, max(0, wq_need - Mq - PADL))),
+                 constant_values=5).T          # (Wq, P)
+    trev = jnp.flip(t.astype(jnp.int32), axis=1)
+    x0_of = lambda d: Mt - 1 - d + ((d - c0) // 2 - B // 2)  # noqa: E731
+    PADT = max(0, -x0_of(2 * Kpad - 1)) + 2 * CHUNK
+    wt_need = x0_of(0) + PADT + B + 2 + 2 * CHUNK
+    tT = jnp.pad(trev, ((0, 0), (PADT, max(0, wt_need - Mt - PADT))),
+                 constant_values=6).T          # (Wt, P)
+    Wq = qT.shape[0]
+    Wt = tT.shape[0]
+    x0base = Mt - 2 + PADT - c0 // 2 - B // 2
+    rq = i0p0 % CHUNK
+    qalign = i0p0 - rq
+    tlow0 = x0base - (CHUNK - 1)
+    rt = tlow0 % CHUNK
+    talign = tlow0 - rt
+
+    def kernel(q_ref, t_ref, out_ref):
+        zero = jnp.zeros((B, block_p), jnp.int32)
+
+        def half(qs, ts, parity, H1, H2, E1, F1, Hmax):
+            sv = jnp.where(qs == ts, match, mismatch)
+            if parity == 0:
+                Hup, Fup = H1, F1
+                Hleft = jnp.concatenate([H1[1:], zero[:1]], axis=0)
+                Eleft = jnp.concatenate([E1[1:], zero[:1] + NEG], axis=0)
+            else:
+                Hup = jnp.concatenate([zero[:1], H1[:-1]], axis=0)
+                Fup = jnp.concatenate([zero[:1] + NEG, F1[:-1]], axis=0)
+                Hleft, Eleft = H1, E1
+            En = jnp.maximum(Hleft - open_first, Eleft - gap_extend)
+            Fn = jnp.maximum(Hup - open_first, Fup - gap_extend)
+            dv = H2 + sv
+            Hn = jnp.maximum(jnp.maximum(dv, 0), jnp.maximum(En, Fn))
+            return Hn, H1, En, Fn, jnp.maximum(Hmax, Hn)
+
+        def chunk_body(c, carry):
+            H1, H2, E1, F1, Hmax = carry
+            qbase = pl.multiple_of(qalign + c * CHUNK, CHUNK)
+            tbase = pl.multiple_of(talign - c * CHUNK, CHUNK)
+            qblk = q_ref[pl.ds(qbase, B + 2 * CHUNK), :]
+            tblk = t_ref[pl.ds(tbase, B + 2 * CHUNK + 1), :]
+            for u in range(CHUNK):
+                qs = qblk[rq + u:rq + u + B, :]
+                toff = (x0base - talign) - u
+                ts_odd = tblk[toff:toff + B, :]
+                ts_even = tblk[toff + 1:toff + 1 + B, :]
+                H1, H2, E1, F1, Hmax = half(qs, ts_even, 0,
+                                            H1, H2, E1, F1, Hmax)
+                H1, H2, E1, F1, Hmax = half(qs, ts_odd, 1,
+                                            H1, H2, E1, F1, Hmax)
+            return (H1, H2, E1, F1, Hmax)
+
+        init = (zero, zero, zero + NEG, zero + NEG, zero)
+        carry = jax.lax.fori_loop(0, Kpad // CHUNK, chunk_body, init)
+        out_ref[:] = carry[4]
+
+    grid = (P // block_p,)
+    hmax_all = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Wq, block_p), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wt, block_p), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, block_p), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, P), jnp.int32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=P * D * B * 10, bytes_accessed=P * (Wq + Wt) * 4,
+            transcendentals=0),
+    )(qT, tT)
+    return jnp.max(hmax_all, axis=0)

@@ -66,6 +66,7 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
                                               batch=batch)
 
     rows_out = []
+    cand_all = []   # (aa row, genome, contig, frame id, win start, win aa)
     for gidx, ex_list in sorted(missing.items()):
         ex_rows = np.asarray(
             [i for i, e in ex_of_row.items() if e in set(map(int, ex_list))])
@@ -142,7 +143,9 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
         c_ex, c_ct, c_f = exs[first], cts[first], fds[first]
         c_g, c_q = gps2[first], qps2[first]
 
-        # --- align candidates (host windows; counts are small) -----------
+        # --- collect candidate windows (host slices; alignment is batched
+        # across ALL genomes below — one row per launch wasted 7/8 of every
+        # launch and paid ~150 ms tunnel latency per candidate) -----------
         frame_cache: dict = {}
 
         def frame_of(ctg, fid):
@@ -152,61 +155,92 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
                     genomes.contig_tokens(ctg), gtable)[fid][1]
             return frame_cache[key]
 
-        from ..io.tokens import make_length_buckets
         for ci2 in range(len(first)):
             row = int(c_ex[ci2])
-            exemplar = ex_of_row[row]
             Laa = int(aa_store.length[row])
             ctg = int(c_ct[ci2])
             fid = int(c_f[ci2])
-            toks = genomes.contig_tokens(ctg)
             frame_aa = frame_of(ctg, fid)
             a = max(0, int(c_g[ci2]) - int(c_q[ci2]) - slack)
             b = min(len(frame_aa), a + Laa + 2 * slack)
             if b - a < min_frag_aa:
                 continue
-            win = frame_aa[a:b]
-            wb = make_length_buckets(max(b - a, band))
-            W = int(wb[np.searchsorted(wb, b - a, side="left")])
-            qwb = int(wb[min(np.searchsorted(wb, max(Laa, band),
-                                             side="left"), len(wb) - 1)])
-            qd = np.full((8, max(qwb, band)), alphabet.AA_PAD, np.int8)
-            td = np.full((8, W), alphabet.AA_PAD, np.int8)
-            qd[0, :Laa] = aa_store.gene_tokens(row)[:qwb]
-            td[0, :b - a] = win[:W]
-            res = sw.unpack_stats(np.asarray(sw.sw_banded_packed(
-                qd, td, scorer=sw.matrix_scorer(alphabet.blosum62_matrix()),
-                gap_open=gap_open, gap_extend=gap_extend, band=band,
-                n_real_tokens=20, qpad=alphabet.AA_PAD,
-                tpad=alphabet.AA_PAD)), 1)
-            metrics.add("sw_launches", 1)
-            metrics.add("protein_map_windows", 1)
-            alen = int(res["aln_len"][0])
-            if alen == 0:
-                continue
-            ident = res["matches"][0] / alen
-            span = int(res["qend"][0]) - int(res["qstart"][0]) + 1
-            if ident < min_identity or span < min_frag_aa:
-                continue
-            # AA window coords -> frame coords -> fwd nucl coords
-            aa_s = a + int(res["tstart"][0])
-            aa_e = a + int(res["tend"][0])
-            L = len(toks)
-            f = fid % 3
-            if fid < 3:
-                ns, ne = 3 * aa_s + f, 3 * aa_e + f + 2
-                strand = 1
-            else:
-                ns = L - 3 - 3 * aa_e - f
-                ne = L - 1 - 3 * aa_s - f
-                strand = -1
-            ns, ne = max(0, ns), min(L - 1, ne)
-            rows_out.append(dict(
-                exemplar=int(exemplar), genome=gidx, contig=ctg,
-                start=ns, end=ne, strand=strand,
-                score=int(3 * match_score * res["matches"][0]),
-                identity=float(ident),
-                qcov=span / max(Laa, 1), stitched=False))
+            cand_all.append((row, gidx, ctg, fid, a,
+                             np.ascontiguousarray(frame_aa[a:b])))
+        frame_cache.clear()
+
+    # --- batched alignment over all collected candidates ------------------
+    from ..io.tokens import make_length_buckets
+    if cand_all:
+        scorer = sw.matrix_scorer(alphabet.blosum62_matrix())
+        wbuckets = make_length_buckets(
+            max(max(len(c[5]) for c in cand_all), band))
+        qmaxb = int(wbuckets[np.searchsorted(
+            wbuckets, max(int(aa_store.length.max()), band), side="left")])
+        by_bucket: dict = {}
+        for c in cand_all:
+            wbi = int(np.searchsorted(wbuckets, len(c[5]), side="left"))
+            by_bucket.setdefault(wbi, []).append(c)
+        launches = []
+        import jax
+        warmed: set = set()
+        for wbi, rows2 in sorted(by_bucket.items()):
+            W = int(wbuckets[wbi])
+            i2 = 0
+            while i2 < len(rows2):
+                chunk_rows = rows2[i2:i2 + batch]
+                P = len(chunk_rows)
+                Ppad = 256 if P <= 256 else batch   # two shapes per width
+                qd = np.full((Ppad, qmaxb), alphabet.AA_PAD, np.int8)
+                td = np.full((Ppad, W), alphabet.AA_PAD, np.int8)
+                for ri, (row, _g, _c, _f, _a, win) in enumerate(chunk_rows):
+                    qt = aa_store.gene_tokens(row)
+                    qd[ri, :len(qt)] = qt[:qmaxb]
+                    td[ri, :len(win)] = win[:W]
+                handle = sw.sw_banded_packed(
+                    qd, td, scorer=scorer, gap_open=gap_open,
+                    gap_extend=gap_extend, band=band, n_real_tokens=20,
+                    qpad=alphabet.AA_PAD, tpad=alphabet.AA_PAD)
+                if (Ppad, W) not in warmed:
+                    jax.block_until_ready(handle)
+                    warmed.add((Ppad, W))
+                launches.append((chunk_rows, handle))
+                metrics.add("sw_launches", 1)
+                metrics.add("protein_map_windows", len(chunk_rows))
+                metrics.add("sw_lane_cells", Ppad * (qmaxb + W - 1) * band)
+                i2 += batch
+
+        for chunk_rows, handle in launches:
+            res = sw.unpack_stats(np.asarray(handle), len(chunk_rows))
+            for ri, (row, gidx, ctg, fid, a, win) in enumerate(chunk_rows):
+                alen = int(res["aln_len"][ri])
+                if alen == 0:
+                    continue
+                ident = res["matches"][ri] / alen
+                span = int(res["qend"][ri]) - int(res["qstart"][ri]) + 1
+                if ident < min_identity or span < min_frag_aa:
+                    continue
+                Laa = int(aa_store.length[row])
+                # AA window coords -> frame coords -> fwd nucl coords
+                aa_s = a + int(res["tstart"][ri])
+                aa_e = a + int(res["tend"][ri])
+                L = int(genomes.contig_offset[ctg + 1]
+                        - genomes.contig_offset[ctg])
+                f = fid % 3
+                if fid < 3:
+                    ns, ne = 3 * aa_s + f, 3 * aa_e + f + 2
+                    strand = 1
+                else:
+                    ns = L - 3 - 3 * aa_e - f
+                    ne = L - 1 - 3 * aa_s - f
+                    strand = -1
+                ns, ne = max(0, ns), min(L - 1, ne)
+                rows_out.append(dict(
+                    exemplar=int(ex_of_row[row]), genome=gidx, contig=ctg,
+                    start=ns, end=ne, strand=strand,
+                    score=int(3 * match_score * res["matches"][ri]),
+                    identity=float(ident),
+                    qcov=span / max(Laa, 1), stitched=False))
 
     if not rows_out:
         return MapHits.concat([])

@@ -82,24 +82,40 @@ def _similarity_groups(store: GeneStore, clusters: linclust.ClusterResult,
 def _missing_combos(store: GeneStore, clusters: linclust.ClusterResult,
                     group_of_gene: np.ndarray, map_hits,
                     n_genomes: int) -> dict:
-    """{genome: [representative exemplar per group absent there]}."""
-    group_of_ex = {int(e): int(group_of_gene[int(e)])
-                   for e in clusters.exemplar_ids}
-    # representative exemplar per group: longest, then smallest id
-    rep: dict = {}
-    for e in sorted(clusters.exemplar_ids,
-                    key=lambda e: (-int(store.length[int(e)]), int(e))):
-        rep.setdefault(group_of_ex[int(e)], int(e))
-    present = set()
-    for i in range(len(map_hits)):
-        g = group_of_ex.get(int(map_hits.exemplar[i]))
-        if g is not None:
-            present.add((int(map_hits.genome[i]), g))
+    """{genome: [representative exemplar per group absent there]}.
+
+    Fully vectorized — the python dict-loop version was O(hits)
+    interpreter work per run (round-1 review finding)."""
+    labels = np.asarray(group_of_gene)
+    ex_ids = np.asarray(clusters.exemplar_ids, np.int64)
+    grp_ex = labels[ex_ids]
+    valid = grp_ex >= 0
+    ex_ids, grp_ex = ex_ids[valid], grp_ex[valid]
+    if len(ex_ids) == 0:
+        return {}
+    uniq_groups, ginv = np.unique(grp_ex, return_inverse=True)
+    G = len(uniq_groups)
+    # representative exemplar per group: longest, then smallest gene id
+    order = np.lexsort((ex_ids, -store.length[ex_ids].astype(np.int64)))
+    rank = np.empty(len(order), np.int64)
+    rank[order] = np.arange(len(order))
+    best_rank = np.full(G, len(order), np.int64)
+    np.minimum.at(best_rank, ginv, rank)
+    rep = np.zeros(G, np.int64)
+    sel = rank == best_rank[ginv]
+    rep[ginv[sel]] = ex_ids[sel]
+    # (genome, group) presence matrix from the map hits
+    hit_grp = labels[np.asarray(map_hits.exemplar, np.int64)]
+    pos = np.searchsorted(uniq_groups, hit_grp)
+    ok = ((hit_grp >= 0) & (pos < G)
+          & (uniq_groups[np.clip(pos, 0, G - 1)] == hit_grp))
+    present = np.zeros((n_genomes, G), bool)
+    present[np.asarray(map_hits.genome)[ok], pos[ok]] = True
     missing: dict = {}
     for gm in range(n_genomes):
-        exs = [rep[g] for g in rep if (gm, g) not in present]
-        if exs:
-            missing[gm] = sorted(exs)
+        absent = np.flatnonzero(~present[gm])
+        if len(absent):
+            missing[gm] = [int(rep[a]) for a in absent]
     return missing
 
 
@@ -231,6 +247,12 @@ def _run_inner(paths: list, cfg: PipelineConfig,
                 if len(phits):
                     log.info("protein_map recovered %d hits", len(phits))
                     map_hits = genome_map.MapHits.concat([map_hits, phits])
+                    # stitch frame-split protein fragments (and mixed
+                    # DNA+protein fragments) of one exemplar into single
+                    # disrupted regions — the frameshift-aware DIAMOND /
+                    # uberBlast cross-method HSP merge (SURVEY §2.2, §3.2)
+                    map_hits = genome_map.dedup_and_stitch(
+                        map_hits, gene_store, cfg.synteny_gap)
         cache.store("genome_map", {
             f.name: getattr(map_hits, f.name)
             for f in dataclasses.fields(genome_map.MapHits)})
@@ -308,10 +330,10 @@ def _run_inner(paths: list, cfg: PipelineConfig,
             group_names[lbl] = (
                 gene_store.names[int(regions.exemplar[i])] + "_r")
     # unify: a gene matched by a region adopts the region's group
-    for i in range(len(regions)):
-        gi = int(regions.gene_idx[i])
-        if gi >= 0:
-            group_of_gene[gi] = int(regions.group[i])
+    # (vectorized; on duplicate gene_idx the last row wins, matching the
+    # ascending python loop it replaces)
+    adopted = np.asarray(regions.gene_idx) >= 0
+    group_of_gene[regions.gene_idx[adopted]] = regions.group[adopted]
     tick("assign", t0)
     log.info("regions=%d (pseudo=%d)", len(regions),
              int((regions.status == "pseudogene").sum()))

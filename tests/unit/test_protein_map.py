@@ -57,3 +57,46 @@ def test_unannotated_divergent_copy_recovered(tmp_path):
     sel2 = np.flatnonzero((res2.regions.group == grp2)
                           & (res2.regions.genome == 2))
     assert len(sel2) == 0
+
+
+def test_frameshifted_divergent_copy_stitched_pseudogene(tmp_path):
+    """Frameshift-aware protein search (SURVEY §2.2 diamond row): a
+    DNA-invisible (synonymous-recoded) copy carrying a 1-bp deletion
+    splits across two reading frames; the two frame fragments must stitch
+    into ONE region and the CIGAR pass must call it a pseudogene."""
+    rng = np.random.default_rng(321)
+    sim = simulate.simulate(n_genomes=3, n_core=8, n_accessory=0,
+                            mean_gene_codons=200, divergence=0.01, seed=77)
+    feats = sim.features[2]
+    (cname, s, e, st, gid) = feats[0]
+    contig = sim.contigs[2][cname]
+    g = contig[s - 1:e]
+    if st < 0:
+        g = ab.revcomp(g)
+    g2 = simulate.synonymous_recode(rng, g)
+    mid = len(g2) // 2 - (len(g2) // 2) % 3 + 1   # mid-gene, off-codon
+    g2 = np.concatenate([g2[:mid], g2[mid + 1:]])  # 1-bp deletion
+    placed = g2 if st > 0 else ab.revcomp(g2)
+    # replace the annotated copy in place (contig shrinks by 1 base; all
+    # downstream features would shift, so append a pad base at the end)
+    new_contig = np.concatenate([contig[:s - 1], placed, contig[e - 1:]])
+    sim.contigs[2][cname] = new_contig
+    sim.features[2] = [f for f in feats if f[4] != gid]
+
+    paths = simulate.write_gff(sim, str(tmp_path / "gff"))
+    res = pipeline.run(paths, PipelineConfig(prefix="FS", sw_batch=4096,
+                                             paralog_split=False),
+                       out_dir=str(tmp_path / "out"))
+    fam0_genes = [i for i, n in enumerate(res.gene_store.names)
+                  if sim.truth.get(n) == "FAM_0000"]
+    grp = int(res.group_of_gene[fam0_genes[0]])
+    sel = np.flatnonzero((res.regions.group == grp)
+                         & (res.regions.genome == 2))
+    assert len(sel) == 1, (
+        f"expected ONE stitched region, got {len(sel)} "
+        "(frame-split fragments not merged?)")
+    i = int(sel[0])
+    assert res.regions.status[i] == "pseudogene"
+    # region must span (most of) the planted gene, i.e. cover both frames
+    span = int(res.regions.end[i]) - int(res.regions.start[i]) + 1
+    assert span > 0.7 * len(g2)
