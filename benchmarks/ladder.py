@@ -56,16 +56,22 @@ def run_config(n_genomes: int, *, seed: int = 1000,
     sw_seconds = (res.phase_seconds.get("cluster", 0)
                   + res.phase_seconds.get("similar_pairs", 0)
                   + res.phase_seconds.get("genome_map", 0))
+    pair_seconds = (res.phase_seconds.get("cluster", 0)
+                    + res.phase_seconds.get("similar_pairs", 0))
+    n_pairs = int(counters.get("sw_pairs", 0)
+                  + counters.get("sw_pairs_protein", 0))
     return {
         "config": f"{n_genomes}_genomes",
+        "n_genomes": n_genomes,
+        "date": time.strftime("%Y-%m-%d"),
         "n_genes": int(res.gene_store.n_genes),
         "n_groups": int(len(np.unique(res.group_of_gene))),
         "n_regions": int(len(res.regions)),
         "wall_seconds": round(wall, 2),
         "phase_seconds": {k: round(v, 2)
                           for k, v in res.phase_seconds.items()},
-        "pairs_aligned": int(counters.get("sw_pairs", 0)
-                             + counters.get("sw_pairs_protein", 0)),
+        "pairs_aligned": n_pairs,
+        "pairs_per_second": round(n_pairs / max(pair_seconds, 1e-9), 1),
         "map_windows": int(counters.get("map_windows", 0)),
         "lane_cell_updates": int(cells),
         "gcups_effective": round(cells / max(sw_seconds, 1e-9) / 1e9, 2),

@@ -26,14 +26,26 @@ def _pan_parser(sub):
                    help="accepted for PEPPA compatibility; ignored")
     p.add_argument("-P", "--priority", nargs="*", default=[],
                    help="genome names whose annotations are trusted first")
+    p.add_argument("--untrusted", nargs="*", default=[],
+                   help="genome names whose annotations rank last for "
+                        "exemplar choice")
     p.add_argument("--min_cds", type=int, default=120)
-    p.add_argument("--incompleteCDS", action="store_true")
+    p.add_argument("--incompleteCDS", nargs="?", const=True, default=False,
+                   metavar="CODES",
+                   help="keep incomplete CDS; bare flag keeps all, or give "
+                        "letter codes: s=no start, e=no stop, i=internal "
+                        "stop, f=frame")
     p.add_argument("--gtable", type=int, default=11)
     p.add_argument("--clust_identity", type=float, default=0.9)
     p.add_argument("--clust_match_prop", type=float, default=0.9)
     p.add_argument("--match_identity", type=float, default=0.65)
     p.add_argument("--match_prop", type=float, default=0.5)
+    p.add_argument("--match_len", type=int, default=0,
+                   help="similarity edges also pass at >= this aligned bp "
+                        "even below --match_prop (0 = off)")
     p.add_argument("--match_frag_len", type=int, default=50)
+    p.add_argument("--match_frag_prop", type=float, default=0.0,
+                   help="min fragment span as a fraction of the exemplar")
     p.add_argument("--nucl", action="store_true",
                    help="nucleotide-only mode (skip protein-level search)")
     p.add_argument("--allowed_sigma", type=float, default=3.0)
@@ -174,12 +186,15 @@ def main(argv=None) -> int:
 
         cfg = PipelineConfig(
             prefix=args.prefix, priority=tuple(args.priority),
+            untrusted=tuple(args.untrusted),
             min_cds=args.min_cds,
             incomplete_cds=args.incompleteCDS, gtable=args.gtable,
             clust_identity=args.clust_identity,
             clust_match_prop=args.clust_match_prop,
             match_identity=args.match_identity, match_prop=args.match_prop,
-            match_frag_len=args.match_frag_len, nucl_only=args.nucl,
+            match_len=args.match_len,
+            match_frag_len=args.match_frag_len,
+            match_frag_prop=args.match_frag_prop, nucl_only=args.nucl,
             allowed_sigma=args.allowed_sigma,
             paralog_split=not args.noParalogSplit,
             synteny_gap=args.synteny_gap, synteny_diff=args.synteny_diff,

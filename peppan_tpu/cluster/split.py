@@ -78,6 +78,7 @@ def estimate_divergence(store: GeneStore, group_of_gene: np.ndarray,
     pk = (np.minimum(ga, gb)[mask] * np.int64(n_genomes)
           + np.maximum(ga, gb)[mask])
     expect = np.zeros((n_genomes, n_genomes), np.float32)
+    observed = np.zeros((n_genomes, n_genomes), bool)
     meds = np.zeros(0)
     residuals = np.zeros(0)
     if len(d):
@@ -90,9 +91,26 @@ def estimate_divergence(store: GeneStore, group_of_gene: np.ndarray,
         gj = (pk_s[starts] % n_genomes).astype(np.int64)
         expect[gi, gj] = meds
         expect[gj, gi] = meds
+        observed[gi, gj] = observed[gj, gi] = True
         residuals = d_s - np.repeat(meds, counts)
+    # Fallback for genome pairs with NO single-copy shared groups
+    # (normative semantics pending mount verification, SURVEY §2.1
+    # global_difference): use the more diverged genome's MARGINAL median
+    # — max(row_median[a], row_median[b]) — so one highly diverged genome
+    # keeps its elevated expectation instead of inheriting the global
+    # median of the close majority; genomes with no observations at all
+    # fall back to the global median.
     overall = float(np.median(meds)) if len(meds) else 0.05
-    expect[expect == 0] = overall
+    np.fill_diagonal(observed, True)     # diagonal is 0 by definition
+    row_obs = observed & ~np.eye(n_genomes, dtype=bool)
+    row_med = np.array([
+        float(np.median(expect[g][row_obs[g]])) if row_obs[g].any()
+        else overall
+        for g in range(n_genomes)], np.float32)
+    miss = ~observed
+    if miss.any():
+        fill = np.maximum(row_med[:, None], row_med[None, :])
+        expect[miss] = fill[miss]
     np.fill_diagonal(expect, 0.0)
     # sigma = robust spread of individual gene distances around their genome
     # pair's expectation (how much single-gene divergence naturally wobbles)

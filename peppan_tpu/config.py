@@ -17,8 +17,16 @@ class PipelineConfig:
     prefix: str = "PEPPAN_TPU"          # --prefix/-p : output file prefix
     priority: tuple = ()                # --priority : genome names whose
     #                                     annotations are trusted first
+    untrusted: tuple = ()               # --untrusted : genome names whose
+    #                                     annotations rank LAST for exemplar
+    #                                     choice (inverse of --priority)
     min_cds: int = 120                  # --min_cds : drop shorter CDS (bp)
-    incomplete_cds: bool = False        # --incompleteCDS : keep broken CDS
+    incomplete_cds: bool | str = False  # --incompleteCDS : keep broken CDS.
+    #   False = drop all incomplete; True = keep all; a string of letter
+    #   codes keeps selectively: s = missing start codon, e = missing stop
+    #   (end), i = internal stop, f = frame (length % 3 != 0).  (Reference
+    #   letter convention TO-VERIFY; this one is normative until the mount
+    #   is populated — SURVEY.md §5.6.)
     gtable: int = 11                    # --gtable : NCBI translation table
 
     # --- clustering (phase 3; mmseqs-linclust equivalent) ---
@@ -28,7 +36,12 @@ class PipelineConfig:
     # --- similarity search (phases 4-5; uberBlast equivalent) ---
     match_identity: float = 0.65        # --match_identity
     match_prop: float = 0.5             # --match_prop : min aligned fraction
+    match_len: int = 0                  # --match_len : a similarity edge
+    #   also passes when its alignment spans >= this many bp even if the
+    #   proportion test fails (long genes); 0 disables the OR-path
     match_frag_len: int = 50            # --match_frag_len : min fragment bp
+    match_frag_prop: float = 0.0        # --match_frag_prop : min fragment
+    #   span as a fraction of the exemplar (both fragment minima apply)
     nucl_only: bool = False             # --nucl : skip protein-level search
     protein_identity: float = 0.35      # AA identity floor (diamond stage)
 

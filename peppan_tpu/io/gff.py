@@ -159,7 +159,28 @@ def check_cds(tokens: np.ndarray, table_id: int = 11) -> str:
     return ""
 
 
-def load_genomes(paths: list, *, min_cds: int = 120, incomplete_cds: bool = False,
+# --incompleteCDS letter codes (normative convention pending mount
+# verification, SURVEY.md §5.6): s = missing start, e = missing stop (end),
+# i = internal stop, f = frame (length % 3 != 0)
+_INCOMPLETE_CODE = {"no_start": "s", "no_stop": "e", "internal_stop": "i",
+                    "frame": "f"}
+
+
+def incomplete_allowed(reason: str, policy: bool | str) -> bool:
+    """Does the --incompleteCDS policy keep a CDS with this defect?
+
+    policy False/'' drops every incomplete CDS; True keeps them all; a
+    string of letter codes keeps only the listed defects ('short' — under
+    two codons — is never kept)."""
+    if policy is True:
+        return reason != "short"
+    if not policy:
+        return False
+    return _INCOMPLETE_CODE.get(reason, "?") in policy
+
+
+def load_genomes(paths: list, *, min_cds: int = 120,
+                 incomplete_cds: bool | str = False,
                  gtable: int = 11) -> tuple:
     """Read many GFF files -> (GenomeStore, GeneStore).
 
@@ -206,7 +227,8 @@ def load_genomes(paths: list, *, min_cds: int = 120, incomplete_cds: bool = Fals
                 g = alphabet.revcomp(g)
             if len(g) < min_cds:
                 continue
-            if not incomplete_cds and check_cds(g, gtable):
+            reason = check_cds(g, gtable)
+            if reason and not incomplete_allowed(reason, incomplete_cds):
                 continue
             seqs.append(g)
             genome.append(gi)

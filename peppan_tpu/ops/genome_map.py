@@ -122,6 +122,7 @@ class MapHits:
 def map_exemplars(genes: GeneStore, genomes: GenomeStore,
                   exemplar_ids: np.ndarray, index: GenomeIndex, *,
                   min_identity: float = 0.65, min_frag_len: int = 50,
+                  min_frag_prop: float = 0.0,
                   band: int = 128, slack: int = 64, batch: int = 2048,
                   gap_open: int = 5, gap_extend: int = 2,
                   min_seeds: int = 2, stitch_gap: int = 300,
@@ -252,7 +253,11 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
             alen = int(res["aln_len"][ri])
             ident = res["matches"][ri] / max(alen, 1)
             span = int(res["qend"][ri]) - int(res["qstart"][ri]) + 1
-            if ident < min_identity or span < min_frag_len:
+            # fragment minima: absolute bp (--match_frag_len) AND fraction
+            # of the exemplar (--match_frag_prop)
+            need = max(min_frag_len,
+                       int(np.ceil(min_frag_prop * int(genes.length[ex]))))
+            if ident < min_identity or span < need:
                 continue
             ts, te = int(res["tstart"][ri]), int(res["tend"][ri])
             if strand > 0:

@@ -29,12 +29,12 @@ CHUNK = 8  # double-steps per aligned load (sublane alignment quantum)
 
 @functools.partial(jax.jit, static_argnames=(
     "match", "mismatch", "gap_open", "gap_extend", "band", "c0", "block_p",
-    "interpret"))
+    "chunk", "interpret"))
 def sw_banded_scores_pallas_v2(q: jax.Array, t: jax.Array, *,
                                match: int = 2, mismatch: int = -3,
                                gap_open: int = 5, gap_extend: int = 2,
                                band: int = 128, c0: int = 0,
-                               block_p: int = 128,
+                               block_p: int = 128, chunk: int = CHUNK,
                                interpret: bool = False) -> jax.Array:
     """Score-only banded SW; bit-equal to ops.sw.sw_banded(score mode).
 
@@ -44,6 +44,8 @@ def sw_banded_scores_pallas_v2(q: jax.Array, t: jax.Array, *,
     """
     if c0 % 2 != 0:
         raise ValueError("c0 must be even")
+    if chunk % 8 != 0:
+        raise ValueError("chunk must be a multiple of 8 (sublane quantum)")
     P, Mq = q.shape
     _, Mt = t.shape
     B = band
@@ -53,29 +55,29 @@ def sw_banded_scores_pallas_v2(q: jax.Array, t: jax.Array, *,
 
     D = Mq + Mt - 1
     K = (D + 1) // 2
-    Kpad = ((K + CHUNK - 1) // CHUNK) * CHUNK
+    Kpad = ((K + chunk - 1) // chunk) * chunk
 
     # padding scheme of ops.sw.sw_banded, extended to cover Kpad steps and
     # the chunk-aligned loads (identical to banded_sw.py v1)
     PADL = B // 2 + abs(c0) // 2 + 2
     i0p0 = (-c0) // 2 - B // 2 + PADL
-    wq_need = (2 * (Kpad - 1) - c0) // 2 - B // 2 + PADL + B + 2 * CHUNK
+    wq_need = (2 * (Kpad - 1) - c0) // 2 - B // 2 + PADL + B + 2 * chunk
     qT = jnp.pad(q.astype(jnp.int32),
                  ((0, 0), (PADL, max(0, wq_need - Mq - PADL))),
                  constant_values=5).T          # (Wq, P)
     trev = jnp.flip(t.astype(jnp.int32), axis=1)
     x0_of = lambda d: Mt - 1 - d + ((d - c0) // 2 - B // 2)  # noqa: E731
-    PADT = max(0, -x0_of(2 * Kpad - 1)) + 2 * CHUNK
-    wt_need = x0_of(0) + PADT + B + 2 + 2 * CHUNK
+    PADT = max(0, -x0_of(2 * Kpad - 1)) + 2 * chunk
+    wt_need = x0_of(0) + PADT + B + 2 + 2 * chunk
     tT = jnp.pad(trev, ((0, 0), (PADT, max(0, wt_need - Mt - PADT))),
                  constant_values=6).T          # (Wt, P)
     Wq = qT.shape[0]
     Wt = tT.shape[0]
     x0base = Mt - 2 + PADT - c0 // 2 - B // 2
-    rq = i0p0 % CHUNK
+    rq = i0p0 % chunk
     qalign = i0p0 - rq
-    tlow0 = x0base - (CHUNK - 1)
-    rt = tlow0 % CHUNK
+    tlow0 = x0base - (chunk - 1)
+    rt = tlow0 % chunk
     talign = tlow0 - rt
 
     def kernel(q_ref, t_ref, out_ref):
@@ -99,11 +101,11 @@ def sw_banded_scores_pallas_v2(q: jax.Array, t: jax.Array, *,
 
         def chunk_body(c, carry):
             H1, H2, E1, F1, Hmax = carry
-            qbase = pl.multiple_of(qalign + c * CHUNK, CHUNK)
-            tbase = pl.multiple_of(talign - c * CHUNK, CHUNK)
-            qblk = q_ref[pl.ds(qbase, B + 2 * CHUNK), :]
-            tblk = t_ref[pl.ds(tbase, B + 2 * CHUNK + 1), :]
-            for u in range(CHUNK):
+            qbase = pl.multiple_of(qalign + c * chunk, chunk)
+            tbase = pl.multiple_of(talign - c * chunk, chunk)
+            qblk = q_ref[pl.ds(qbase, B + 2 * chunk), :]
+            tblk = t_ref[pl.ds(tbase, B + 2 * chunk + 1), :]
+            for u in range(chunk):
                 qs = qblk[rq + u:rq + u + B, :]
                 toff = (x0base - talign) - u
                 ts_odd = tblk[toff:toff + B, :]
@@ -115,7 +117,7 @@ def sw_banded_scores_pallas_v2(q: jax.Array, t: jax.Array, *,
             return (H1, H2, E1, F1, Hmax)
 
         init = (zero, zero, zero + NEG, zero + NEG, zero)
-        carry = jax.lax.fori_loop(0, Kpad // CHUNK, chunk_body, init)
+        carry = jax.lax.fori_loop(0, Kpad // chunk, chunk_body, init)
         out_ref[:] = carry[4]
 
     grid = (P // block_p,)

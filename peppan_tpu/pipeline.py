@@ -62,8 +62,12 @@ def _similarity_groups(store: GeneStore, clusters: linclust.ClusterResult,
     hits = prs.verify_pairs(sub, cand, band=cfg.band, batch=cfg.sw_batch,
                             gap_open=cfg.gap_open, gap_extend=cfg.gap_extend,
                             mesh=mesh)
-    keep = ((hits.identity >= cfg.match_identity)
-            & (np.maximum(hits.qcov, hits.tcov) >= cfg.match_prop))
+    # an edge passes on aligned PROPORTION, or (--match_len) on absolute
+    # aligned length — the long-gene escape hatch (SURVEY §5.6)
+    cov_ok = np.maximum(hits.qcov, hits.tcov) >= cfg.match_prop
+    if cfg.match_len > 0:
+        cov_ok |= hits.aln_len >= cfg.match_len
+    keep = (hits.identity >= cfg.match_identity) & cov_ok
     # map subset indices back to gene ids
     edges = ex_ids[hits.pairs[keep]]
     if not cfg.nucl_only:
@@ -189,18 +193,23 @@ def _run_inner(paths: list, cfg: PipelineConfig,
         log.info("cluster: resumed from cache")
     else:
         # --priority: genomes listed earlier outrank the rest (ties by
-        # input order within the same rank)
+        # input order within the same rank); --untrusted genomes rank LAST
         prio = np.full(genome_store.n_genomes, len(cfg.priority), np.int64)
         for rank, pname in enumerate(cfg.priority):
             for gi, gname in enumerate(genome_store.genome_names):
                 if gname == pname and prio[gi] == len(cfg.priority):
                     prio[gi] = rank
+        unset = set(cfg.untrusted)
+        for gi, gname in enumerate(genome_store.genome_names):
+            if gname in unset and prio[gi] == len(cfg.priority):
+                prio[gi] = len(cfg.priority) + 1
         clusters = linclust.cluster_genes(
             gene_store, identity=cfg.clust_identity,
             coverage=cfg.clust_match_prop, k=cfg.kmer, w=cfg.window,
             band=cfg.band, max_group=cfg.max_minimizer_group,
             batch=cfg.sw_batch, mesh=mesh,
-            genome_priority=prio if len(cfg.priority) else None)
+            genome_priority=prio if (len(cfg.priority)
+                                     or len(cfg.untrusted)) else None)
         cache.store("cluster", {
             "root": clusters.root, "exemplar": clusters.exemplar,
             "exemplar_ids": clusters.exemplar_ids,
@@ -231,6 +240,7 @@ def _run_inner(paths: list, cfg: PipelineConfig,
         map_hits = genome_map.map_exemplars(
             gene_store, genome_store, clusters.exemplar_ids, gindex,
             min_identity=cfg.match_identity, min_frag_len=cfg.match_frag_len,
+            min_frag_prop=cfg.match_frag_prop,
             band=cfg.band, batch=cfg.sw_batch, gap_open=cfg.gap_open,
             gap_extend=cfg.gap_extend, stitch_gap=cfg.synteny_gap)
         if not cfg.nucl_only:

@@ -76,3 +76,53 @@ def test_split_oversized_group_subsampling(tmp_path):
     for t, g in zip(truth, new):
         assert fw.setdefault(t, g) == g, (t, g)
         assert bw.setdefault(g, t) == t, (g, t)
+
+
+def test_divergence_outlier_genome_fallback():
+    """Sparse-pair hardening: a genome pair with no shared single-copy
+    groups must inherit the more diverged genome's marginal median, not
+    the global median (one-outlier skew scenario)."""
+    import numpy as np
+    from peppan_tpu.cluster import split
+    from peppan_tpu.io.tokens import GeneStore
+    from peppan_tpu.ops import pairs as prs
+
+    # 5 genomes x 1 gene per genome per group, 3 groups; genome 4 is the
+    # outlier: its only observations are vs genome 0 at distance 0.15,
+    # while genomes 0-3 sit at ~0.02 from each other.
+    n_genomes, n_groups = 5, 3
+    genome = np.repeat(np.arange(n_genomes), n_groups).astype(np.int32)
+    group = np.tile(np.arange(n_groups), n_genomes).astype(np.int64)
+    seqs = [np.zeros(60, np.int8)] * len(genome)
+    store = GeneStore.from_sequences(seqs, genome=genome)
+    pairs, ident = [], []
+    for grp in range(n_groups):
+        ids = np.flatnonzero(group == grp)
+        for a in ids:
+            for b in ids:
+                if a >= b:
+                    continue
+                ga, gb = genome[a], genome[b]
+                if ga < 4 and gb < 4:
+                    pairs.append((a, b))
+                    ident.append(0.98)
+                elif 0 in (ga, gb):          # outlier only observed vs g0
+                    pairs.append((a, b))
+                    ident.append(0.85)
+    pairs = np.asarray(pairs, np.int32)
+    ident = np.asarray(ident, np.float32)
+    ones = np.full(len(pairs), 60, np.int32)
+    hits = prs.PairHits(pairs=pairs, score=ones, identity=ident,
+                        qcov=np.ones(len(pairs), np.float32),
+                        tcov=np.ones(len(pairs), np.float32),
+                        matches=ones, aln_len=ones)
+    div = split.estimate_divergence(store, group, hits, n_genomes)
+    # observed entries
+    assert abs(div.expect[0, 1] - 0.02) < 1e-4
+    assert abs(div.expect[4, 0] - 0.15) < 1e-4
+    # unobserved outlier pairs take the outlier marginal, not ~0.02
+    for g in (1, 2, 3):
+        assert div.expect[4, g] > 0.1, (g, div.expect[4, g])
+    # symmetric + zero diagonal
+    assert np.allclose(div.expect, div.expect.T)
+    assert np.all(np.diag(div.expect) == 0)

@@ -6,6 +6,7 @@ import pytest
 
 from peppan_tpu.ops import sw
 from peppan_tpu.ops.kernels import banded_sw as pk
+from peppan_tpu.ops.kernels import banded_sw_v2 as pk2
 
 
 @pytest.mark.parametrize("P,Mq,Mt,B", [(8, 128, 128, 64),
@@ -32,3 +33,37 @@ def test_pallas_rejects_bad_args(rng):
         pk.sw_banded_scores_pallas(q, q, c0=1, interpret=True)
     with pytest.raises(ValueError):
         pk.sw_banded_scores_pallas(q, q, block_p=3, interpret=True)
+
+
+@pytest.mark.parametrize("P,Mq,Mt,B", [(8, 128, 128, 64),
+                                       (16, 200, 320, 32)])
+def test_pallas_v2_matches_scan(rng, P, Mq, Mt, B):
+    """The register-carry v2 kernel (the production-speed one: measured
+    144 vs 80 Gcells/s for the XLA scan on v5e) must stay bit-equal."""
+    q = rng.integers(0, 4, (P, Mq)).astype(np.int8)
+    t = rng.integers(0, 4, (P, Mt)).astype(np.int8)
+    for i in range(0, P, 2):
+        L = min(Mq, Mt)
+        t[i, :L] = q[i, :L]
+        m = rng.random(L) < 0.1
+        t[i, :L][m] = (t[i, :L][m] + 1) % 4
+    tp = sw.prep_target_tokens(t)
+    ref = np.asarray(sw.sw_banded(q, tp, scorer=sw.dna_scorer(), band=B,
+                                  with_stats=False)["score"])
+    got = np.asarray(pk2.sw_banded_scores_pallas_v2(
+        q, tp, band=B, block_p=8, interpret=True))
+    assert np.array_equal(ref, got)
+
+
+def test_pallas_v2_c0_and_chunk(rng):
+    q = rng.integers(0, 4, (8, 100)).astype(np.int8)
+    t = np.concatenate([rng.integers(0, 4, (8, 64)).astype(np.int8), q],
+                       axis=1)
+    tp = sw.prep_target_tokens(t)
+    ref = np.asarray(sw.sw_banded(q, tp, scorer=sw.dna_scorer(), band=32,
+                                  c0=64, with_stats=False)["score"])
+    got = np.asarray(pk2.sw_banded_scores_pallas_v2(
+        q, tp, band=32, c0=64, block_p=8, chunk=16, interpret=True))
+    assert np.array_equal(ref, got)
+    with pytest.raises(ValueError):
+        pk2.sw_banded_scores_pallas_v2(q, tp, chunk=4, interpret=True)
