@@ -297,7 +297,14 @@ def dedup_and_stitch(hits: MapHits, genes: GeneStore,
     as separate fragments and merge here into one disrupted region, as do
     mixed DNA+protein fragment pairs (uberBlast's cross-method HSP
     stitching) — the pipeline re-runs this pass after concatenating the
-    protein-search hits."""
+    protein-search hits.
+
+    Stitching is for COMPLEMENTARY fragments of one disrupted copy; two
+    near-full-length hits of the same exemplar (each qcov >= 0.8) are
+    tandem paralog copies and must stay separate regions — merging them
+    would destroy copy counting (HSP merging in uberBlast is colinear
+    within one alignment, never copy concatenation)."""
+    TANDEM_QCOV = 0.8
     keep: list = []
     order = np.lexsort((-hits.score, hits.start, hits.strand.astype(int),
                         hits.contig, hits.exemplar))
@@ -313,6 +320,12 @@ def dedup_and_stitch(hits: MapHits, genes: GeneStore,
             if s <= prev["end"] + stitch_gap:
                 if e <= prev["end"]:
                     continue               # contained duplicate
+                if (prev["qcov"] >= TANDEM_QCOV
+                        and float(hits.qcov[idx]) >= TANDEM_QCOV):
+                    pass                   # tandem copies: keep separate
+                else:
+                    merged = True
+            if merged:
                 ln_new = e - max(s, prev["end"] + 1) + 1
                 tot = prev["end"] - prev["start"] + 1 + ln_new
                 prev["identity"] = (
@@ -323,7 +336,6 @@ def dedup_and_stitch(hits: MapHits, genes: GeneStore,
                 prev["qcov"] = min(
                     1.0, prev["qcov"] + float(hits.qcov[idx]))
                 prev["stitched"] = True
-                merged = True
         if not merged:
             rows.append(dict(
                 exemplar=key[0], genome=int(hits.genome[idx]),

@@ -1,0 +1,394 @@
+"""Host-side semantic oracle: phases 3-7 re-implemented without JAX.
+
+SURVEY.md §7.3.6 insurance policy: with the reference mount empty, the
+pipeline's semantics need a second, structurally different implementation
+so that (a) the device engine's DECISIONS (clusters, groups, hits,
+regions) can be golden-diffed today, and (b) when the real PEPPAN becomes
+available only ONE implementation needs reconciling.
+
+Design rules:
+  - numpy + the O(mn) full-matrix aligners only (native pt_sw_traceback
+    for speed, sw_oracle as its own bit-equal fallback); no JAX, no
+    minimizer seeding, no banding heuristics;
+  - phase 5 mapping is EXHAUSTIVE: every exemplar vs every contig/strand
+    via iterative best-hit masking — no seeds to miss, which also covers
+    what the production protein stage recovers at oracle scale (run the
+    production side with nucl_only=True when diffing);
+  - the greedy assignment repeats the documented tie-breaks with naive
+    O(n^2) scans (no heap, no bisect);
+  - shared with production ON PURPOSE: token/alphabet conventions and
+    io.writers (formatting is not under test; decisions are).
+
+Scope: DNA path only (see above); the iterative re-split hook and the
+CIGAR disruption tree mirror assign/greedy semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..io import alphabet, native
+from ..io.tokens import GeneStore, GenomeStore
+from ..ops import sw_oracle
+from ..assign.greedy import Regions
+
+DNA = alphabet.dna_score_matrix().astype(np.int32)
+
+
+def _align(q: np.ndarray, t: np.ndarray, gap_open: int = 5,
+           gap_extend: int = 2):
+    """Full-matrix SW (stats + cigar): native fast path, python fallback."""
+    out = native.sw_traceback(q, t, DNA, gap_open, gap_extend)
+    if out is not None:
+        return out
+    hit, cigar = sw_oracle.sw_traceback(q, t, DNA, gap_open, gap_extend)
+    return ({"score": hit.score, "qstart": hit.qstart, "qend": hit.qend,
+             "tstart": hit.tstart, "tend": hit.tend,
+             "matches": hit.matches, "aln_len": hit.aln_len}, cigar)
+
+
+# --- phase 3: clustering (all-pairs, no sketching) -------------------------
+
+def cluster(genes: GeneStore, *, identity: float = 0.9,
+            coverage: float = 0.9) -> tuple:
+    """(root, exemplar, exemplar_ids): single-linkage over verified edges.
+
+    All-pairs alignment with a length-ratio prefilter (coverage of the
+    longer sequence is impossible below `coverage` length ratio — a pure
+    arithmetic bound, not a heuristic)."""
+    n = genes.n_genes
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    toks = [genes.gene_tokens(i) for i in range(n)]
+    for i in range(n):
+        for j in range(i + 1, n):
+            li, lj = len(toks[i]), len(toks[j])
+            if min(li, lj) < coverage * max(li, lj):
+                continue
+            if find(i) == find(j):
+                continue
+            stats, _ = _align(toks[i], toks[j])
+            if stats["aln_len"] == 0:
+                continue
+            ident = stats["matches"] / stats["aln_len"]
+            qcov = (stats["qend"] - stats["qstart"] + 1) / li
+            tcov = (stats["tend"] - stats["tstart"] + 1) / lj
+            if ident >= identity and qcov >= coverage and tcov >= coverage:
+                union(i, j)
+    root = np.array([find(i) for i in range(n)], np.int64)
+    # exemplar: longest member, then smallest index (no priority ranks)
+    order = np.lexsort((np.arange(n), -genes.length.astype(np.int64)))
+    ex_of_root: dict = {}
+    for g in order:
+        ex_of_root.setdefault(int(root[g]), int(g))
+    exemplar = np.array([ex_of_root[int(r)] for r in root], np.int64)
+    return root, exemplar, np.unique(exemplar)
+
+
+# --- phase 4: similarity groups --------------------------------------------
+
+def similarity_groups(genes: GeneStore, exemplar: np.ndarray,
+                      exemplar_ids: np.ndarray, *,
+                      match_identity: float = 0.65,
+                      match_prop: float = 0.5,
+                      match_len: int = 0) -> np.ndarray:
+    """Component root per gene after connecting exemplars that align."""
+    n = genes.n_genes
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    ids = [int(e) for e in exemplar_ids]
+    toks = {e: genes.gene_tokens(e) for e in ids}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            stats, _ = _align(toks[a], toks[b])
+            if stats["aln_len"] == 0:
+                continue
+            ident = stats["matches"] / stats["aln_len"]
+            qcov = (stats["qend"] - stats["qstart"] + 1) / len(toks[a])
+            tcov = (stats["tend"] - stats["tstart"] + 1) / len(toks[b])
+            cov_ok = max(qcov, tcov) >= match_prop
+            if match_len > 0 and stats["aln_len"] >= match_len:
+                cov_ok = True
+            if ident >= match_identity and cov_ok:
+                union(a, b)
+    for g in range(n):
+        union(int(exemplar[g]), g)
+    return np.array([find(g) for g in range(n)], np.int64)
+
+
+# --- phase 5: exhaustive genome mapping -------------------------------------
+
+@dataclasses.dataclass
+class OracleHit:
+    exemplar: int
+    genome: int
+    contig: int
+    start: int   # 0-based inclusive, fwd strand
+    end: int
+    strand: int
+    score: int
+    identity: float
+    qcov: float
+    stitched: bool = False
+
+
+def map_exemplars(genes: GeneStore, genomes: GenomeStore,
+                  exemplar_ids: np.ndarray, *,
+                  min_identity: float = 0.65, min_frag_len: int = 50,
+                  stitch_gap: int = 300, max_hits_per_contig: int = 32
+                  ) -> list:
+    """Iterative best-hit masking: align, record, mask, repeat."""
+    hits: list = []
+    for e in map(int, exemplar_ids):
+        q = genes.gene_tokens(e)
+        L = len(q)
+        for ci in range(genomes.n_contigs):
+            fwd = genomes.contig_tokens(ci)
+            Lc = len(fwd)
+            for strand in (1, -1):
+                t = fwd.copy() if strand > 0 else alphabet.revcomp(fwd)
+                for _ in range(max_hits_per_contig):
+                    stats, _ = _align(q, t)
+                    if stats["score"] <= 0 or stats["aln_len"] == 0:
+                        break
+                    ident = stats["matches"] / stats["aln_len"]
+                    span = stats["qend"] - stats["qstart"] + 1
+                    ts, te = stats["tstart"], stats["tend"]
+                    # mask BEFORE thresholding so weaker copies surface
+                    t = t.copy()
+                    t[ts:te + 1] = alphabet.DNA_N
+                    if ident < min_identity or span < min_frag_len:
+                        # weaker hits cannot pass either — identity decays
+                        if ident < min_identity:
+                            break
+                        continue
+                    if strand > 0:
+                        gs, ge = ts, te
+                    else:
+                        gs, ge = Lc - 1 - te, Lc - 1 - ts
+                    hits.append(OracleHit(
+                        exemplar=e, genome=int(genomes.contig_genome[ci]),
+                        contig=ci, start=int(gs), end=int(ge),
+                        strand=strand, score=int(stats["score"]),
+                        identity=float(ident), qcov=span / max(L, 1)))
+    # dedup/stitch: same-exemplar fragments on one contig/strand within
+    # stitch_gap merge (same rule as ops.genome_map.dedup_and_stitch)
+    hits.sort(key=lambda h: (h.exemplar, h.contig, h.strand,
+                             h.start, -h.score))
+    out: list = []
+    for h in hits:
+        if out:
+            p = out[-1]
+            if (p.exemplar == h.exemplar and p.contig == h.contig
+                    and p.strand == h.strand
+                    and h.start <= p.end + stitch_gap):
+                if h.end <= p.end:
+                    continue
+                if p.qcov >= 0.8 and h.qcov >= 0.8:
+                    # tandem copies, not fragments: keep separate (same
+                    # TANDEM_QCOV rule as ops.genome_map.dedup_and_stitch)
+                    out.append(dataclasses.replace(h))
+                    continue
+                ln_new = h.end - max(h.start, p.end + 1) + 1
+                tot = p.end - p.start + 1 + ln_new
+                p.identity = (p.identity * (p.end - p.start + 1)
+                              + h.identity * ln_new) / tot
+                p.end = h.end
+                p.score += h.score
+                p.qcov = min(1.0, p.qcov + h.qcov)
+                p.stitched = True
+                continue
+        out.append(dataclasses.replace(h))
+    out.sort(key=lambda h: (h.genome, h.contig, h.start, h.exemplar))
+    return out
+
+
+# --- phase 7: greedy assignment (naive scans) --------------------------------
+
+def greedy_assign(hits: list, group_of_exemplar: dict, genes: GeneStore,
+                  genomes: GenomeStore, *, overlap_frac: float = 0.15,
+                  pseudogene_frac: float = 0.8,
+                  locus_dominance: float = 0.65,
+                  tail_frac: float = 0.9) -> Regions:
+    """Documented tie-breaks, O(n^2) everywhere (no heap/bisect/synteny-
+    tie special cases beyond the shared ordering rules)."""
+    m = len(hits)
+    grp = [int(group_of_exemplar[h.exemplar]) for h in hits]
+
+    # locus dominance: decisively outscored overlapping other-group hits go
+    def olap(a, b):
+        return max(0, min(a.end, b.end) - max(a.start, b.start) + 1)
+
+    dominated = [False] * m
+    for i in range(m):
+        for j in range(i + 1, m):
+            a, b = hits[i], hits[j]
+            if a.contig != b.contig or grp[i] == grp[j]:
+                continue
+            ov = olap(a, b)
+            if ov <= overlap_frac * min(a.end - a.start + 1,
+                                        b.end - b.start + 1):
+                continue
+            if a.score < locus_dominance * b.score:
+                dominated[i] = True
+            elif b.score < locus_dominance * a.score:
+                dominated[j] = True
+
+    live = [i for i in range(m) if not dominated[i]]
+    claimed: dict = {}          # contig -> [(s, e)]
+    taken = [False] * m
+
+    def viable(i):
+        h = hits[i]
+        ln = h.end - h.start + 1
+        for (cs, ce) in claimed.get(h.contig, []):
+            ov = max(0, min(h.end, ce) - max(h.start, cs) + 1)
+            if ov > overlap_frac * min(ln, ce - cs + 1):
+                return False
+        return True
+
+    def group_score(g):
+        return sum(hits[i].score for i in live
+                   if grp[i] == g and not taken[i] and viable(i))
+
+    groups = sorted(set(grp[i] for i in live))
+    while True:
+        scores = [(group_score(g), g) for g in groups]
+        scores = [(s, g) for (s, g) in scores if s > 0]
+        if not scores:
+            break
+        s, g = max(scores, key=lambda t: (t[0], -t[1]))
+        groups.remove(g)
+        cand = [i for i in live if grp[i] == g and not taken[i]]
+        cand.sort(key=lambda i: (-hits[i].score, hits[i].genome,
+                                 hits[i].contig, hits[i].start))
+        for i in cand:
+            if not viable(i):
+                continue
+            taken[i] = True
+            claimed.setdefault(hits[i].contig, []).append(
+                (hits[i].start, hits[i].end))
+
+    idx = [i for i in range(m) if taken[i]]
+    idx.sort(key=lambda i: (hits[i].genome, hits[i].contig, hits[i].start))
+
+    status = np.empty(len(idx), dtype=object)
+    gene_idx = np.full(len(idx), -1, np.int64)
+    disrupt_pos = np.full(len(idx), -1, np.int64)
+    code = alphabet.genetic_code_table(11)
+    for row, i in enumerate(idx):
+        h = hits[i]
+        exl = int(genes.length[h.exemplar])
+        ln = h.end - h.start + 1
+        off = int(genomes.contig_offset[h.contig])
+        seq = genomes.tokens[off + h.start:off + h.end + 1]
+        if h.strand < 0:
+            seq = alphabet.revcomp(seq)
+        qcov_ok = h.qcov >= pseudogene_frac
+        disrupted = False
+        if qcov_ok:
+            stats, cigar = _align(genes.gene_tokens(h.exemplar), seq)
+            qpos, tpos = stats["qstart"], stats["tstart"]
+            fs = stop = -1
+            for (op, lnr) in cigar:
+                if op == "M":
+                    q0 = qpos + (-qpos) % 3
+                    while q0 + 2 < qpos + lnr:
+                        if q0 + 3 <= tail_frac * exl:
+                            c = seq[tpos + (q0 - qpos):tpos + (q0 - qpos) + 3]
+                            if (c < 4).all():
+                                cid = (16 * int(c[0]) + 4 * int(c[1])
+                                       + int(c[2]))
+                                if code[cid] == alphabet.AA_STOP and stop < 0:
+                                    stop = tpos + (q0 - qpos)
+                        q0 += 3
+                    qpos += lnr
+                    tpos += lnr
+                elif op == "I":
+                    if lnr % 3 and fs < 0:
+                        fs = tpos
+                    qpos += lnr
+                else:
+                    if lnr % 3 and fs < 0:
+                        fs = tpos
+                    tpos += lnr
+            disrupted = fs >= 0 or stop >= 0
+            if disrupted:
+                p = fs if fs >= 0 else stop
+                disrupt_pos[row] = h.start + p if h.strand > 0 else h.end - p
+        status[row] = "CDS" if (qcov_ok and not disrupted) else "pseudogene"
+        best_ov = 0
+        for gi in range(genes.n_genes):
+            if int(genes.contig[gi]) != h.contig:
+                continue
+            gs, ge = int(genes.start[gi]) - 1, int(genes.end[gi]) - 1
+            ov = max(0, min(h.end, ge) - max(h.start, gs) + 1)
+            if ov > best_ov and ov >= 0.8 * max(ln, ge - gs + 1):
+                best_ov = ov
+                gene_idx[row] = gi
+    return Regions(
+        group=np.asarray([grp[i] for i in idx], np.int64),
+        exemplar=np.asarray([hits[i].exemplar for i in idx], np.int32),
+        genome=np.asarray([hits[i].genome for i in idx], np.int32),
+        contig=np.asarray([hits[i].contig for i in idx], np.int32),
+        start=np.asarray([hits[i].start for i in idx], np.int64),
+        end=np.asarray([hits[i].end for i in idx], np.int64),
+        strand=np.asarray([hits[i].strand for i in idx], np.int8),
+        score=np.asarray([hits[i].score for i in idx], np.int32),
+        identity=np.asarray([hits[i].identity for i in idx], np.float32),
+        status=status,
+        gene_idx=gene_idx,
+        disrupt_pos=disrupt_pos,
+    )
+
+
+# --- end-to-end --------------------------------------------------------------
+
+def run(genome_store: GenomeStore, gene_store: GeneStore, *,
+        clust_identity: float = 0.9, clust_match_prop: float = 0.9,
+        match_identity: float = 0.65, match_prop: float = 0.5,
+        match_len: int = 0, match_frag_len: int = 50,
+        stitch_gap: int = 300, pseudogene_frac: float = 0.8) -> dict:
+    """Phases 3-7 end to end; returns the decision set for diffing."""
+    root, exemplar, exemplar_ids = cluster(
+        gene_store, identity=clust_identity, coverage=clust_match_prop)
+    group_root = similarity_groups(
+        gene_store, exemplar, exemplar_ids,
+        match_identity=match_identity, match_prop=match_prop,
+        match_len=match_len)
+    hits = map_exemplars(gene_store, genome_store, exemplar_ids,
+                         min_identity=match_identity,
+                         min_frag_len=match_frag_len,
+                         stitch_gap=stitch_gap)
+    group_of_exemplar = {int(e): int(group_root[int(e)])
+                         for e in exemplar_ids}
+    regions = greedy_assign(hits, group_of_exemplar, gene_store,
+                            genome_store, pseudogene_frac=pseudogene_frac)
+    return {"root": root, "exemplar": exemplar,
+            "exemplar_ids": exemplar_ids, "group_root": group_root,
+            "hits": hits, "regions": regions}

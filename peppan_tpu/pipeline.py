@@ -344,6 +344,14 @@ def _run_inner(paths: list, cfg: PipelineConfig,
     # ascending python loop it replaces)
     adopted = np.asarray(regions.gene_idx) >= 0
     group_of_gene[regions.gene_idx[adopted]] = regions.group[adopted]
+    # labels minted by the re-split that ended up claiming nothing still
+    # need names (writers sort the name list)
+    for lbl in range(len(group_names)):
+        if group_names[lbl] is None:
+            members = np.flatnonzero(group_of_gene == lbl)
+            group_names[lbl] = (
+                gene_store.names[int(members.min())] + "_r"
+                if len(members) else f"GROUP_{lbl}_r")
     tick("assign", t0)
     log.info("regions=%d (pseudo=%d)", len(regions),
              int((regions.status == "pseudogene").sum()))

@@ -97,6 +97,44 @@ def test_truncated_copy_called_pseudogene(tmp_path):
     assert all(regions.status[i] == "CDS" for i in sel0)
 
 
+def _mk_hits(rows):
+    """rows: (exemplar, contig, start, end, score, qcov)."""
+    m = len(rows)
+    return genome_map.MapHits(
+        exemplar=np.array([r[0] for r in rows], np.int32),
+        genome=np.zeros(m, np.int32),
+        contig=np.array([r[1] for r in rows], np.int32),
+        start=np.array([r[2] for r in rows], np.int64),
+        end=np.array([r[3] for r in rows], np.int64),
+        strand=np.ones(m, np.int8),
+        score=np.array([r[4] for r in rows], np.int32),
+        identity=np.full(m, 0.9, np.float32),
+        qcov=np.array([r[5] for r in rows], np.float32),
+        stitched=np.zeros(m, bool),
+    )
+
+
+def test_stitch_merges_fragments_not_tandem_copies():
+    # two half-coverage fragments within stitch_gap -> one stitched region
+    frags = genome_map.dedup_and_stitch(
+        _mk_hits([(7, 0, 100, 400, 300, 0.5), (7, 0, 550, 850, 300, 0.5)]),
+        None, stitch_gap=300)
+    assert len(frags) == 1 and bool(frags.stitched[0])
+    assert (int(frags.start[0]), int(frags.end[0])) == (100, 850)
+    # two FULL-length copies the same distance apart are tandem paralogs
+    # and must stay separate (copy counting), not merge into one region
+    tand = genome_map.dedup_and_stitch(
+        _mk_hits([(7, 0, 100, 400, 300, 1.0), (7, 0, 550, 850, 300, 1.0)]),
+        None, stitch_gap=300)
+    assert len(tand) == 2
+    assert not tand.stitched.any()
+    # a contained duplicate of a full copy still dedups
+    dup = genome_map.dedup_and_stitch(
+        _mk_hits([(7, 0, 100, 400, 300, 1.0), (7, 0, 120, 380, 250, 0.9)]),
+        None, stitch_gap=300)
+    assert len(dup) == 1
+
+
 def test_nonsense_mutation_called_pseudogene(tmp_path):
     """Same-length internal-stop copy (nonsense mutation) -> pseudogene."""
     import numpy as np
