@@ -96,6 +96,43 @@ def classify(stats: dict, cigar: list, exemplar: np.ndarray,
                       aln_qcov=span / max(exl, 1))
 
 
+def gapless_certified(exemplar: np.ndarray, locus: np.ndarray,
+                      score: int) -> bool:
+    """True iff the full-span GAPLESS interpretation achieves `score`.
+
+    `score` is the recorded optimal (banded) SW score of this hit under
+    the same scoring model (io.alphabet.dna_score_matrix defaults +
+    affine gaps).  The optimal score is >= any particular alignment's, so
+    equality certifies that a gapless end-to-end alignment IS optimal —
+    and since the traceback prefers the diagonal on ties (ops.sw_oracle
+    contract), the CIGAR pass would return all-M: no frameshift is
+    possible and premature stops reduce to a frame-0 codon scan
+    (scan_frame0).  Normative semantics: a region passing this test is
+    BY DEFINITION gapless; only uncertified regions pay the DP pass.
+    """
+    if len(exemplar) != len(locus):
+        return False
+    submat = alphabet.dna_score_matrix().astype(np.int32)
+    return int(submat[exemplar.astype(np.int64),
+                      locus.astype(np.int64)].sum()) == int(score)
+
+
+def scan_frame0(locus: np.ndarray, *, tail_frac: float = 0.9,
+                table_id: int = 11) -> int:
+    """First premature-stop locus coordinate in the exemplar frame, or -1.
+
+    Exactly `classify` walking an all-M CIGAR anchored at (0, 0): codons
+    0,3,6,... of the locus; a codon counts only while its end stays
+    within ``tail_frac`` of the gene; codons containing N never count
+    (translate maps them to X, mirroring classify's (c < 4).all() skip).
+    """
+    aa = alphabet.translate(locus, table_id)
+    stops = np.flatnonzero(aa == alphabet.AA_STOP)
+    cutoff = tail_frac * len(locus)
+    stops = stops[(stops * 3 + 3) <= cutoff]
+    return int(stops[0]) * 3 if len(stops) else -1
+
+
 def stop_frames(seq: np.ndarray, *, tail_frac: float = 0.9,
                 table_id: int = 11) -> int:
     """Number of reading frames (0..3) carrying a premature stop.

@@ -287,10 +287,14 @@ def greedy_assign(hits: MapHits, group_of_exemplar: dict, genes: GeneStore,
     status = np.empty(len(idx), dtype=object)
     gene_idx = np.full(len(idx), -1, np.int64)
 
-    # index annotated genes by contig for overlap matching
+    # index annotated genes by contig for vectorized overlap matching
     genes_by_contig: dict = {}
-    for gi in range(genes.n_genes):
-        genes_by_contig.setdefault(int(genes.contig[gi]), []).append(gi)
+    _g_contig = np.asarray(genes.contig)
+    _g_start = np.asarray(genes.start, np.int64) - 1
+    _g_end = np.asarray(genes.end, np.int64) - 1
+    for c in np.unique(_g_contig):
+        gis = np.flatnonzero(_g_contig == c)
+        genes_by_contig[int(c)] = (gis, _g_start[gis], _g_end[gis])
 
     disrupt_pos = np.full(len(idx), -1, np.int64)
     for row, i in enumerate(idx):
@@ -306,22 +310,32 @@ def greedy_assign(hits: MapHits, group_of_exemplar: dict, genes: GeneStore,
         if hits.strand[i] < 0:
             seq = alphabet.revcomp(seq)
         # disruption decision tree (SURVEY §7.3.3 two-pass traceback; the
-        # CIGAR pass runs only where cheap screens cannot decide):
-        #   1. stitched fragments or a net indel that breaks frame parity
-        #      -> CIGAR pass localizes the frameshift / in-frame rescue;
-        #   2. parity-clean regions: count frames with premature stops —
-        #      0 = intact whatever the frame, 3 = nonsense whatever the
-        #      frame, otherwise the CIGAR pass resolves the TRUE frame.
+        # CIGAR pass runs only where the cheap certificate cannot decide):
+        #   1. same-length full-coverage unstitched regions whose gapless
+        #      interpretation reaches the recorded SW score are certified
+        #      gapless (disrupt.gapless_certified): no frameshift is
+        #      possible and stops reduce to a frame-0 codon scan — this
+        #      is the overwhelmingly common case (substitution-only
+        #      homologs) and costs O(L) instead of O(L^2);
+        #   2. everything else (stitched fragments, indels, protein-path
+        #      scores) -> CIGAR pass localizes frameshifts / true-frame
+        #      premature stops.
         disrupted = False
-        need_tb = bool(hits.stitched[i]) or (ln - exl) % 3 != 0
-        if not need_tb and qcov_ok:
-            k = disrupt.stop_frames(seq)
-            if k == 3:
-                disrupted = True
-            elif k > 0:
-                need_tb = True
-        if need_tb and qcov_ok:
+        need_tb = True
+        exseq = None
+        if (qcov_ok and not bool(hits.stitched[i])
+                and float(hits.qcov[i]) >= 1.0):
             exseq = genes.gene_tokens(ex)
+            if disrupt.gapless_certified(exseq, seq, int(hits.score[i])):
+                need_tb = False
+                p = disrupt.scan_frame0(seq)
+                disrupted = p >= 0
+                if disrupted:
+                    disrupt_pos[row] = (s + p if hits.strand[i] > 0
+                                        else e - p)
+        if need_tb and qcov_ok:
+            if exseq is None:
+                exseq = genes.gene_tokens(ex)
             stats_tb, cigar = disrupt.region_traceback(exseq, seq)
             d = disrupt.classify(stats_tb, cigar, exseq, seq)
             disrupted = d.disrupted
@@ -332,13 +346,17 @@ def greedy_assign(hits: MapHits, group_of_exemplar: dict, genes: GeneStore,
                 disrupt_pos[row] = (s + p if hits.strand[i] > 0 else e - p)
         intact = qcov_ok and not disrupted
         status[row] = "CDS" if intact else "pseudogene"
-        best_ov = 0
-        for gi in genes_by_contig.get(int(hits.contig[i]), []):
-            gs, ge = int(genes.start[gi]) - 1, int(genes.end[gi]) - 1
-            ov = _overlap(s, e, gs, ge)
-            if ov > best_ov and ov >= 0.8 * max(ln, ge - gs + 1):
-                best_ov = ov
-                gene_idx[row] = gi
+        entry = genes_by_contig.get(int(hits.contig[i]))
+        if entry is not None:
+            gis, gstarts, gends = entry
+            ov = np.minimum(e, gends) - np.maximum(s, gstarts) + 1
+            need = 0.8 * np.maximum(ln, gends - gstarts + 1)
+            ov = np.where(ov >= need, ov, 0)
+            # same winner as the scalar loop it replaces: max overlap,
+            # FIRST gene index on ties (argmax returns first maximum)
+            j = int(np.argmax(ov))
+            if ov[j] > 0:
+                gene_idx[row] = int(gis[j])
     return Regions(
         group=hit_group[idx],
         exemplar=hits.exemplar[idx],

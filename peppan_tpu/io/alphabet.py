@@ -14,6 +14,8 @@ Token conventions (fixed across the whole framework):
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 # --- DNA ---------------------------------------------------------------------
@@ -90,11 +92,15 @@ _NCBI_TABLES = {
 _TCAG_TO_OURS = {0: 3, 1: 1, 2: 0, 3: 2}  # T->3, C->1, A->0, G->2 (our ids)
 
 
+@functools.lru_cache(maxsize=None)
 def genetic_code_table(table_id: int = 11) -> np.ndarray:
     """Return int8[65] mapping codon id (ACGT-major, 16*b0+4*b1+b2) -> AA token.
 
     Index 64 is the 'any ambiguous codon' slot -> X, so callers can clamp
     codons containing N to 64.
+
+    Cached (hot in the per-region disruption pass); the returned array is
+    read-only — copy before mutating.
     """
     if table_id not in _NCBI_TABLES:
         raise ValueError(f"unsupported genetic code table {table_id}; "
@@ -107,6 +113,7 @@ def genetic_code_table(table_id: int = 11) -> np.ndarray:
                 ncbi_idx = 16 * t0 + 4 * t1 + t2
                 ours = 16 * _TCAG_TO_OURS[t0] + 4 * _TCAG_TO_OURS[t1] + _TCAG_TO_OURS[t2]
                 out[ours] = _AA_ENCODE[ord(s[ncbi_idx])] if s[ncbi_idx] != "*" else AA_STOP
+    out.setflags(write=False)
     return out
 
 

@@ -311,8 +311,22 @@ def greedy_assign(hits: list, group_of_exemplar: dict, genes: GeneStore,
             seq = alphabet.revcomp(seq)
         qcov_ok = h.qcov >= pseudogene_frac
         disrupted = False
+        exseq = genes.gene_tokens(h.exemplar)
+        # gapless certificate (same normative rule as assign.greedy /
+        # disrupt.gapless_certified): full-span equal-length unstitched
+        # hit whose positional score reaches the recorded optimum is
+        # all-M by the diag tie-preference -> frame-0 stop scan only.
+        certified = (
+            qcov_ok and not h.stitched and h.qcov >= 1.0
+            and len(exseq) == len(seq)
+            and int(DNA[exseq.astype(np.int64),
+                        seq.astype(np.int64)].sum()) == h.score)
         if qcov_ok:
-            stats, cigar = _align(genes.gene_tokens(h.exemplar), seq)
+            if certified:
+                stats = {"qstart": 0, "tstart": 0}
+                cigar = [("M", len(exseq))]
+            else:
+                stats, cigar = _align(exseq, seq)
             qpos, tpos = stats["qstart"], stats["tstart"]
             fs = stop = -1
             for (op, lnr) in cigar:
