@@ -60,6 +60,13 @@ def _pan_parser(sub):
     p.add_argument("--kmer", type=int, default=13)
     p.add_argument("--window", type=int, default=8)
     p.add_argument("--sw_batch", type=int, default=512)
+    p.add_argument("--mesh_data", type=int, default=1,
+                   help="device mesh 'data' axis size (1 = single device)")
+    p.add_argument("--mesh_db", type=int, default=1,
+                   help="device mesh 'db' axis size")
+    p.add_argument("--shard_store", action="store_true",
+                   help="pod-memory mode: shard the token store over 'db' "
+                        "instead of replicating (byte-identical results)")
     return p
 
 
@@ -201,6 +208,8 @@ def main(argv=None) -> int:
             neighbor_check=not args.noNeighborCheck,
             pseudogene_frac=args.pseudogene, band=args.band, kmer=args.kmer,
             window=args.window, sw_batch=args.sw_batch,
+            mesh_data=args.mesh_data, mesh_db=args.mesh_db,
+            shard_store=args.shard_store,
             continue_run=args.continue_run)
         res = pipeline.run(args.gffs, cfg, out_dir=args.out_dir)
         for k, v in res.outputs.items():

@@ -58,7 +58,7 @@ def cluster_genes(store: GeneStore, *, identity: float = 0.9,
                   band: int = 128, max_group: int = 64,
                   batch: int = 4096, m_per_gene: int = 20,
                   genome_priority: np.ndarray | None = None,
-                  mesh=None) -> ClusterResult:
+                  mesh=None, shard_store: bool = False) -> ClusterResult:
     """Cluster pooled genes at high identity; choose exemplars.
 
     identity / coverage mirror PEPPAN's --clust_identity / --clust_match_prop
@@ -92,7 +92,8 @@ def cluster_genes(store: GeneStore, *, identity: float = 0.9,
             table.hash[keep_idx], table.gene[keep_idx],
             table.pos[keep_idx], table.strand[keep_idx])
     cand = prs.candidate_center_pairs(table, sub.length)
-    hits = prs.verify_pairs(sub, cand, band=band, batch=batch, mesh=mesh)
+    hits = prs.verify_pairs(sub, cand, band=band, batch=batch, mesh=mesh,
+                            shard_store=shard_store)
     keep = ((hits.identity >= identity) & (hits.qcov >= coverage)
             & (hits.tcov >= coverage))
     # lift subset edges back to global ids, plus duplicate edges

@@ -69,3 +69,6 @@ class PipelineConfig:
     profile_dir: str = ""               # write a jax.profiler trace here
     mesh_data: int = 1                  # mesh axis sizes ('data', 'db')
     mesh_db: int = 1
+    shard_store: bool = False           # pod-memory mode: shard the token
+    #   store rows over 'db' instead of replicating (needs mesh_db > 1);
+    #   byte-identical results, HBM/device drops to store/db_size

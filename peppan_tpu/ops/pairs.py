@@ -199,13 +199,19 @@ def _gather_align(tokens, qidx, tidx, *, scorer, gap_open, gap_extend,
 
 def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
                  gap_open: int = 5, gap_extend: int = 2, batch: int = 4096,
-                 match: int = 2, mismatch: int = -3, mesh=None) -> PairHits:
+                 match: int = 2, mismatch: int = -3, mesh=None,
+                 shard_store: bool = False) -> PairHits:
     """Align every candidate pair with banded SW (stats mode) on device.
 
     The padded token store is uploaded once; per batch only (P,) index
     vectors move host->device, all launches are enqueued back-to-back, and
     the packed results are fetched after the last dispatch (async overlap).
     Query is always the shorter gene (canonical orientation).
+
+    With ``mesh`` and ``shard_store=True`` the store rows shard over the
+    'db' axis instead of replicating (pod-memory mode — see
+    parallel.allvsall.ShardedPairAligner); results are byte-identical to
+    the replicated path.
     """
     m = len(pairs)
     out_score = np.zeros(m, np.int32)
@@ -226,6 +232,31 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
         width = int(buckets[np.searchsorted(
             buckets, max(int(store.length.max()), band), side="left")])
         dense = pad_to_dense(store, np.arange(store.n_genes), width)
+        if mesh is not None and shard_store:
+            from ..parallel.allvsall import ShardedPairAligner
+            aligner = ShardedPairAligner(mesh, dense, band=band,
+                                         gap_open=gap_open,
+                                         gap_extend=gap_extend, batch=batch)
+            ki = {k: i for i, k in enumerate(sw.STATS_KEYS)}
+            for sel, slots, handle in aligner(qidx, tidx):
+                packed = np.asarray(handle)
+                out_score[sel] = packed[ki["score"], slots]
+                out_match[sel] = packed[ki["matches"], slots]
+                out_alen[sel] = packed[ki["aln_len"], slots]
+                out_qspan[sel] = (packed[ki["qend"], slots]
+                                  - packed[ki["qstart"], slots] + 1)
+                out_tspan[sel] = (packed[ki["tend"], slots]
+                                  - packed[ki["tstart"], slots] + 1)
+            alen = np.maximum(out_alen, 1)
+            return PairHits(
+                pairs=np.asarray(pairs, np.int32),
+                score=out_score,
+                identity=(out_match / alen).astype(np.float32),
+                qcov=(out_qspan / np.maximum(qlen, 1)).astype(np.float32),
+                tcov=(out_tspan / np.maximum(tlen, 1)).astype(np.float32),
+                matches=out_match,
+                aln_len=out_alen,
+            )
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             tokens_dev = jax.device_put(dense, NamedSharding(mesh, P()))

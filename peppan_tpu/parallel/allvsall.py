@@ -74,6 +74,110 @@ def dense_tile_scores(q: jax.Array, t: jax.Array, *, mesh: Mesh,
     return {"scores": scores, "best": best, "best_idx": best_idx}
 
 
+class ShardedPairAligner:
+    """Row-sharded sparse pair alignment: pod-memory mode (SURVEY §2.3 TP row).
+
+    The padded token store shards over the 'db' mesh axis — each device's
+    HBM holds only ``ceil(n_rows / db)`` rows instead of the whole store,
+    which is what makes a 2000-genome store (too large to replicate into
+    16 GB HBM) viable on a pod slice.  QUERY tokens stream per launch
+    (host-side gather from the host copy of the store, uploaded with the
+    index vectors — the DP 'query-gene-batch streaming' axis of SURVEY
+    §2.3), so device memory for queries is one in-flight batch.
+
+    Routing: each candidate pair executes on the 'db' column that owns its
+    TARGET row (a local gather — no cross-device collective touches token
+    data), spread round-robin over the 'data' axis.  Results reassemble on
+    host in the original pair order, so downstream decisions are
+    byte-identical to the replicated/single-device path (the determinism
+    contract; asserted by tests/determinism/test_mesh_pipeline.py).
+    """
+
+    def __init__(self, mesh: Mesh, tokens: np.ndarray, *, band: int = 128,
+                 gap_open: int = 5, gap_extend: int = 2, batch: int = 4096):
+        from ..utils import metrics
+
+        self.mesh = mesh
+        self.band = band
+        self.dd = int(mesh.shape["data"])
+        self.ds = int(mesh.shape["db"])
+        n, w = tokens.shape
+        self.width = w
+        self.rows = -(-n // self.ds)            # rows per 'db' shard
+        n_pad = self.rows * self.ds
+        if n_pad != n:
+            tokens = np.concatenate(
+                [tokens, np.full((n_pad - n, w), 5, np.int8)])
+        self.host_tokens = tokens
+        self.tokens = jax.device_put(
+            jnp.asarray(tokens), NamedSharding(mesh, P("db", None)))
+        # per-(data,db)-device pair capacity per launch; fixed for shape
+        # stability (each distinct shape = one compile)
+        self.batch = max(256, batch // (self.dd * self.ds))
+        metrics.add("hbm_store_bytes_per_device", self.rows * w)
+
+        flat = P(("data", "db"))
+        self._q_sharding = NamedSharding(mesh, P(("data", "db"), None))
+        self._i_sharding = NamedSharding(mesh, flat)
+
+        def _local(tok_shard, q, t_local):
+            td = jnp.take(tok_shard, t_local, axis=0)
+            td = jnp.where(td == 5, sw.T_PAD,
+                           jnp.where(td == 4, sw.T_N, td))
+            res = sw.sw_banded(q, td, scorer=sw.dna_scorer(),
+                               gap_open=gap_open, gap_extend=gap_extend,
+                               band=band, with_stats=True)
+            return jnp.stack([res[k] for k in sw.STATS_KEYS])
+
+        self._align = jax.jit(jax.shard_map(
+            _local, mesh=mesh,
+            in_specs=(P("db", None), P(("data", "db"), None),
+                      P(("data", "db"))),
+            out_specs=P(None, ("data", "db"))))
+
+    def __call__(self, qidx: np.ndarray, tidx: np.ndarray) -> list:
+        """Align pairs; returns packed launches [(sel, int32[7, ...])] in
+        deterministic order — callers unpack with sw.unpack_stats using the
+        sel index map (original pair positions)."""
+        from ..utils import metrics
+
+        qidx = np.asarray(qidx, np.int64)
+        tidx = np.asarray(tidx, np.int64)
+        owner = tidx // self.rows
+        n_blocks = self.dd * self.ds
+        per = self.batch
+        # per-shard queues, original order preserved
+        shard_lists = [np.flatnonzero(owner == s) for s in range(self.ds)]
+        heads = [0] * self.ds
+        out = []
+        while any(heads[s] < len(shard_lists[s]) for s in range(self.ds)):
+            sel_blocks = []
+            qtok = np.full((n_blocks * per, self.width), 5, np.int8)
+            tloc = np.zeros(n_blocks * per, np.int32)
+            for s in range(self.ds):
+                take = shard_lists[s][heads[s]:heads[s] + per * self.dd]
+                heads[s] += len(take)
+                # round-robin over 'data': element k -> data block k % dd
+                for di in range(self.dd):
+                    part = take[di::self.dd]
+                    base = (di * self.ds + s) * per
+                    slots = base + np.arange(len(part))
+                    qtok[slots] = self.host_tokens[qidx[part]]
+                    tloc[slots] = (tidx[part] - s * self.rows).astype(np.int32)
+                    sel_blocks.append((part, slots))
+            qd = jax.device_put(jnp.asarray(qtok), self._q_sharding)
+            td = jax.device_put(jnp.asarray(tloc), self._i_sharding)
+            handle = self._align(self.tokens, qd, td)
+            sel = np.concatenate([p for p, _ in sel_blocks])
+            slots = np.concatenate([sl for _, sl in sel_blocks])
+            out.append((sel, slots, handle))
+            metrics.add("sw_pairs", len(sel))
+            metrics.add("sw_lane_cells",
+                        n_blocks * per * (2 * self.width - 1) * self.band)
+            metrics.add("sw_launches", 1)
+        return out
+
+
 class PairAligner:
     """Replicated-store sparse pair alignment over the whole mesh.
 

@@ -61,7 +61,7 @@ def _similarity_groups(store: GeneStore, clusters: linclust.ClusterResult,
     cand, _, _ = prs.candidate_pairs(table, max_group=cfg.max_minimizer_group)
     hits = prs.verify_pairs(sub, cand, band=cfg.band, batch=cfg.sw_batch,
                             gap_open=cfg.gap_open, gap_extend=cfg.gap_extend,
-                            mesh=mesh)
+                            mesh=mesh, shard_store=cfg.shard_store)
     # an edge passes on aligned PROPORTION, or (--match_len) on absolute
     # aligned length — the long-gene escape hatch (SURVEY §5.6)
     cov_ok = np.maximum(hits.qcov, hits.tcov) >= cfg.match_prop
@@ -157,6 +157,11 @@ def _run_inner(paths: list, cfg: PipelineConfig,
         from .parallel import mesh as meshmod
         mesh = meshmod.make_mesh(data=cfg.mesh_data, db=cfg.mesh_db)
         log.info("mesh: %s", dict(mesh.shape))
+        if cfg.shard_store:
+            # pod-memory mode; per-device HBM for the store is logged by
+            # the hbm_store_bytes_per_device counter (phases.jsonl)
+            log.info("shard_store: token store rows shard over db=%d",
+                     cfg.mesh_db)
 
     os.makedirs(out_dir, exist_ok=True)
     phase_log = metrics.PhaseLog(

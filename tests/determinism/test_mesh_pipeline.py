@@ -23,3 +23,13 @@ def test_mesh_run_matches_single_device(tmp_path):
         a = open(r1.outputs[k], "rb").read()
         b = open(r2.outputs[k], "rb").read()
         assert a == b, f"{k} differs between mesh and single-device runs"
+    # pod-memory mode: token store rows sharded over 'db' instead of
+    # replicated (VERDICT r1 item 6) — still byte-identical
+    r3 = pipeline.run(paths, PipelineConfig(prefix="A", mesh_data=4,
+                                            mesh_db=2, shard_store=True),
+                      out_dir=str(tmp_path / "o3"))
+    assert np.array_equal(r1.group_of_gene, r3.group_of_gene)
+    for k in r1.outputs:
+        a = open(r1.outputs[k], "rb").read()
+        b = open(r3.outputs[k], "rb").read()
+        assert a == b, f"{k} differs between sharded-store and single runs"
