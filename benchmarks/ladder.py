@@ -27,7 +27,7 @@ import numpy as np  # noqa: E402
 
 
 def run_config(n_genomes: int, *, seed: int = 1000,
-               warm: bool = False) -> dict:
+               warm: bool = False, resume: bool = False) -> dict:
     from peppan_tpu import pipeline
     from peppan_tpu.config import PipelineConfig
     from peppan_tpu.utils import metrics, simulate
@@ -38,8 +38,24 @@ def run_config(n_genomes: int, *, seed: int = 1000,
         n_genomes=n_genomes, n_core=200, n_accessory=120,
         accessory_freq=0.4, mean_gene_codons=300, divergence=0.02,
         paralog_families=5, seed=seed)
-    tmp = tempfile.mkdtemp(prefix=f"ladder{n_genomes}_")
-    paths = simulate.write_gff(sim, tmp)
+    if resume:
+        # stall insurance for the big rungs: fixed out_dir + the
+        # hash-keyed phase cache, so a tunnel stall costs one phase,
+        # not the whole run (simulate is seed-deterministic, so the
+        # re-written inputs hash identically).  NOTE: with a warm cache
+        # the reported phase times cover only re-executed phases.
+        base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".ladder_runs")
+        tmp = os.path.join(base, f"L{n_genomes}")
+        os.makedirs(tmp, exist_ok=True)
+    else:
+        tmp = tempfile.mkdtemp(prefix=f"ladder{n_genomes}_")
+    expect = [os.path.join(tmp, f"{g}.gff") for g in sim.genome_names]
+    if resume and all(os.path.exists(p) for p in expect):
+        # do NOT rewrite: the phase cache keys on (size, mtime)
+        paths = expect
+    else:
+        paths = simulate.write_gff(sim, tmp)
 
     if warm:
         # first run pays the (wildly variable) tunnel compile latency;
@@ -48,7 +64,8 @@ def run_config(n_genomes: int, *, seed: int = 1000,
                      out_dir=tmp + "_warm")
     metrics.reset()
     t0 = time.time()
-    res = pipeline.run(paths, PipelineConfig(prefix=f"L{n_genomes}"),
+    res = pipeline.run(paths, PipelineConfig(prefix=f"L{n_genomes}",
+                                             continue_run=resume),
                        out_dir=tmp)
     wall = time.time() - t0
     counters = metrics.snapshot()
@@ -85,6 +102,9 @@ def main() -> int:
     ap.add_argument("--json", default=None)
     ap.add_argument("--warm", action="store_true",
                     help="run each config twice, report the warm run")
+    ap.add_argument("--resume", action="store_true",
+                    help="fixed out_dir + phase cache: a crash/stall "
+                         "resumes at the failed phase (big configs)")
     args = ap.parse_args()
 
     from peppan_tpu.utils import jaxinit
@@ -93,7 +113,7 @@ def main() -> int:
     out = []
     for n in args.configs:
         print(f"=== config: {n} genomes ===", flush=True)
-        r = run_config(n, warm=args.warm)
+        r = run_config(n, warm=args.warm, resume=args.resume)
         out.append(r)
         print(json.dumps(r, indent=1), flush=True)
     if args.json:

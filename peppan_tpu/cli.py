@@ -46,6 +46,13 @@ def _pan_parser(sub):
     p.add_argument("--match_frag_len", type=int, default=50)
     p.add_argument("--match_frag_prop", type=float, default=0.0,
                    help="min fragment span as a fraction of the exemplar")
+    p.add_argument("--exhaustive_fallback", action="store_true",
+                   help="blastn-grade windowed sweep for (genome, group) "
+                        "combos with zero seeded candidates (slow, exact)")
+    p.add_argument("--candidate_source", choices=["minimizer", "profile"],
+                   default="minimizer",
+                   help="phase-4 candidate discovery: minimizer hash-join "
+                        "or MXU k-mer-profile matmul tiles")
     p.add_argument("--nucl", action="store_true",
                    help="nucleotide-only mode (skip protein-level search)")
     p.add_argument("--allowed_sigma", type=float, default=3.0)
@@ -202,6 +209,8 @@ def main(argv=None) -> int:
             match_len=args.match_len,
             match_frag_len=args.match_frag_len,
             match_frag_prop=args.match_frag_prop, nucl_only=args.nucl,
+            exhaustive_fallback=args.exhaustive_fallback,
+            candidate_source=args.candidate_source,
             allowed_sigma=args.allowed_sigma,
             paralog_split=not args.noParalogSplit,
             synteny_gap=args.synteny_gap, synteny_diff=args.synteny_diff,

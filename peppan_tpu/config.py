@@ -44,6 +44,13 @@ class PipelineConfig:
     #   span as a fraction of the exemplar (both fragment minima apply)
     nucl_only: bool = False             # --nucl : skip protein-level search
     protein_identity: float = 0.35      # AA identity floor (diamond stage)
+    exhaustive_fallback: bool = False   # blastn-grade windowed sweep for
+    #   (genome, group) combos that seeding left with zero candidates
+    #   (parallel.seqtile); O(genome_len x gene_len) per combo, opt-in
+    candidate_source: str = "minimizer"  # phase-4 candidate discovery:
+    #   "minimizer" = hash-join on canonical minimizers (default);
+    #   "profile" = MXU k-mer-profile matmul tiles (pod-scale alternative,
+    #   ops.profile_prefilter)
 
     # --- paralog splitting (phase 6) ---
     allowed_sigma: float = 3.0          # --allowed_sigma : divergence sigmas

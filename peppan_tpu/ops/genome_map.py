@@ -287,6 +287,112 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
     return dedup_and_stitch(hits, genes, stitch_gap)
 
 
+def exhaustive_missing(genes: GeneStore, genomes: GenomeStore,
+                       missing: dict, *, mesh=None, band: int = 128,
+                       min_identity: float = 0.65, min_frag_len: int = 50,
+                       min_frag_prop: float = 0.0, gap_open: int = 5,
+                       gap_extend: int = 2, batch: int = 4096) -> MapHits:
+    """Blastn-grade sensitivity fallback: exhaustive windowed sweep for
+    (genome, group) combos that minimizer seeding left without a single
+    candidate (SURVEY §5.7 tier-2 sequence tiling, §2.2 blastn row).
+
+    For every missing combo the group's representative exemplar (both
+    strands) sweeps across EVERY window of the genome via
+    parallel.seqtile.best_windows — O(L x gene_len) DP cells per combo,
+    the honest cost of seeding-free sensitivity, which is why this is an
+    opt-in fallback (PipelineConfig.exhaustive_fallback) rather than the
+    default path.  The winning window then gets one stats-mode pass for
+    exact coordinates, and the hits merge through the same
+    dedup_and_stitch as seeded hits.
+
+    missing: {genome: [exemplar gene ids]} (pipeline._missing_combos).
+    """
+    from ..parallel import seqtile
+
+    rows = []
+    stats_jobs = []          # (ex, contig, strand, q_row, window_start)
+    for genome in sorted(missing):
+        ex_ids = sorted({int(e) for e in missing[genome]})
+        if not ex_ids:
+            continue
+        qw = max(_bucket_width(int(genes.length[ex_ids].max())), band)
+        nq = 2 * len(ex_ids)
+        nq_pad = _pad_pow2(nq, max(batch, nq))
+        q = np.full((nq_pad, qw), alphabet.DNA_PAD, np.int8)
+        for i, ex in enumerate(ex_ids):
+            t = genes.gene_tokens(ex)[:qw]
+            q[2 * i, :len(t)] = t
+            q[2 * i + 1, :len(t)] = alphabet.revcomp(t)
+        for ci in np.flatnonzero(
+                np.asarray(genomes.contig_genome) == genome):
+            toks = genomes.contig_tokens(int(ci))
+            wins = seqtile.window_long_target(toks, qw, band)
+            metrics.add("sweep_windows", len(wins))
+            score, widx = seqtile.best_windows(
+                q, wins, band=band, gap_open=gap_open,
+                gap_extend=gap_extend, batch=batch, mesh=mesh)
+            for i, ex in enumerate(ex_ids):
+                for strand, row in ((1, 2 * i), (-1, 2 * i + 1)):
+                    if widx[row] >= 0:
+                        stats_jobs.append((ex, int(ci), strand, q[row],
+                                           int(widx[row]) * band,
+                                           wins[widx[row]], qw))
+    if not stats_jobs:
+        return MapHits.concat([])
+
+    # one stats pass over all winning windows (width varies with the qw
+    # bucket; group jobs by width to keep launch shapes on the grid)
+    by_width: dict = {}
+    for job in stats_jobs:
+        by_width.setdefault((job[6], job[5].shape[0]), []).append(job)
+    scorer = sw.dna_scorer()
+    for (qw, wwidth), jobs in sorted(by_width.items()):
+        n = len(jobs)
+        pad = _pad_pow2(n, max(batch, n))
+        qd = np.full((pad, qw), alphabet.DNA_PAD, np.int8)
+        td = np.full((pad, wwidth), sw.T_PAD, np.int8)
+        for ri, (_ex, _ci, _st, qrow, _ws, win, _qw) in enumerate(jobs):
+            qd[ri] = qrow
+            td[ri] = win
+        res = sw.unpack_stats(np.asarray(sw.sw_banded_packed(
+            qd, td, scorer=scorer, gap_open=gap_open,
+            gap_extend=gap_extend, band=band)), n)
+        metrics.add("sw_lane_cells", pad * (qw + wwidth - 1) * band)
+        metrics.add("sw_launches", 1)
+        for ri, (ex, ci, strand, _qrow, ws, _win, _qw) in enumerate(jobs):
+            if res["score"][ri] <= 0:
+                continue
+            alen = int(res["aln_len"][ri])
+            ident = res["matches"][ri] / max(alen, 1)
+            span = int(res["qend"][ri]) - int(res["qstart"][ri]) + 1
+            need = max(min_frag_len,
+                       int(np.ceil(min_frag_prop * int(genes.length[ex]))))
+            if ident < min_identity or span < need:
+                continue
+            # windows stay forward-strand (the QUERY was revcomp'd for
+            # minus hits), so window-local coords map straight through
+            gs = ws + int(res["tstart"][ri])
+            ge = ws + int(res["tend"][ri])
+            rows.append((ex, int(genomes.contig_genome[ci]), ci, gs, ge,
+                         strand, int(res["score"][ri]), float(ident),
+                         span / max(int(genes.length[ex]), 1)))
+    if not rows:
+        return MapHits.concat([])
+    rows.sort()
+    return MapHits(
+        exemplar=np.asarray([r[0] for r in rows], np.int32),
+        genome=np.asarray([r[1] for r in rows], np.int32),
+        contig=np.asarray([r[2] for r in rows], np.int32),
+        start=np.asarray([r[3] for r in rows], np.int64),
+        end=np.asarray([r[4] for r in rows], np.int64),
+        strand=np.asarray([r[5] for r in rows], np.int8),
+        score=np.asarray([r[6] for r in rows], np.int32),
+        identity=np.asarray([r[7] for r in rows], np.float32),
+        qcov=np.asarray([r[8] for r in rows], np.float32),
+        stitched=np.zeros(len(rows), bool),
+    )
+
+
 def dedup_and_stitch(hits: MapHits, genes: GeneStore,
                      stitch_gap: int) -> MapHits:
     """Drop duplicate/contained same-exemplar hits; merge same-exemplar

@@ -57,8 +57,15 @@ def _similarity_groups(store: GeneStore, clusters: linclust.ClusterResult,
     thresholds; returns component root per gene (via its exemplar)."""
     ex_ids = clusters.exemplar_ids
     sub = store.subset(ex_ids)
-    table = prs.build_minimizer_table(sub, k=cfg.kmer, w=cfg.window)
-    cand, _, _ = prs.candidate_pairs(table, max_group=cfg.max_minimizer_group)
+    if cfg.candidate_source == "profile":
+        # MXU k-mer-profile matmul tiles (pod-scale candidate discovery)
+        from .ops import profile_prefilter
+        cand = profile_prefilter.profile_candidates(
+            sub, np.arange(sub.n_genes), mesh=mesh)
+    else:
+        table = prs.build_minimizer_table(sub, k=cfg.kmer, w=cfg.window)
+        cand, _, _ = prs.candidate_pairs(table,
+                                         max_group=cfg.max_minimizer_group)
     hits = prs.verify_pairs(sub, cand, band=cfg.band, batch=cfg.sw_batch,
                             gap_open=cfg.gap_open, gap_extend=cfg.gap_extend,
                             mesh=mesh, shard_store=cfg.shard_store)
@@ -268,6 +275,25 @@ def _run_inner(paths: list, cfg: PipelineConfig,
                     # uberBlast cross-method HSP merge (SURVEY §2.2, §3.2)
                     map_hits = genome_map.dedup_and_stitch(
                         map_hits, gene_store, cfg.synteny_gap)
+        if cfg.exhaustive_fallback:
+            # blastn-grade sweep for combos STILL missing after the
+            # seeded DNA + protein passes (zero candidates anywhere)
+            missing = _missing_combos(gene_store, clusters, group_of_gene,
+                                      map_hits, genome_store.n_genomes)
+            if missing:
+                shits = genome_map.exhaustive_missing(
+                    gene_store, genome_store, missing, mesh=mesh,
+                    band=cfg.band, min_identity=cfg.match_identity,
+                    min_frag_len=cfg.match_frag_len,
+                    min_frag_prop=cfg.match_frag_prop,
+                    gap_open=cfg.gap_open, gap_extend=cfg.gap_extend,
+                    batch=cfg.sw_batch)
+                if len(shits):
+                    log.info("exhaustive sweep recovered %d hits",
+                             len(shits))
+                    map_hits = genome_map.dedup_and_stitch(
+                        genome_map.MapHits.concat([map_hits, shits]),
+                        gene_store, cfg.synteny_gap)
         cache.store("genome_map", {
             f.name: getattr(map_hits, f.name)
             for f in dataclasses.fields(genome_map.MapHits)})

@@ -41,6 +41,28 @@ def test_sweep_matches_full_alignment(rng):
     assert got[2] < 100
 
 
+def test_best_windows_mesh_matches_single(rng):
+    """Mesh (pmax/pmin collectives) and single-device best_windows agree
+    on both score and FIRST-winning-window index, across chunk sizes."""
+    target = rng.integers(0, 4, 20_000).astype(np.int8)
+    q1 = target[3_000:3_300].copy()
+    q2 = target[15_000:15_280].copy()
+    wq = 512
+    q = np.full((2, wq), ab.DNA_PAD, np.int8)
+    q[0, :len(q1)] = q1
+    q[1, :len(q2)] = q2
+    wins = seqtile.window_long_target(target, wq, band=64)
+    s0, w0 = seqtile.best_windows(q, wins, band=64, batch=512)
+    m = meshmod.make_mesh(data=2, db=4)
+    s1, w1 = seqtile.best_windows(q, wins, band=64, batch=512, mesh=m)
+    assert np.array_equal(s0, s1)
+    assert np.array_equal(w0, w1)
+    # winning window must contain the plant site
+    for row, pos in ((0, 3_000), (1, 15_000)):
+        ws = int(w0[row]) * 64
+        assert ws <= pos < ws + wins.shape[1]
+
+
 def test_tile_runner_resume(tmp_path):
     calls = []
 
