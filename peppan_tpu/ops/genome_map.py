@@ -126,8 +126,14 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
                   band: int = 128, slack: int = 64, batch: int = 2048,
                   gap_open: int = 5, gap_extend: int = 2,
                   min_seeds: int = 2, stitch_gap: int = 300,
-                  max_seed_occ: int | None = None) -> MapHits:
-    """Map every exemplar gene onto every genome."""
+                  max_seed_occ: int | None = None,
+                  launch_cache=None) -> MapHits:
+    """Map every exemplar gene onto every genome.
+
+    launch_cache: optional utils.manifest.LaunchCache — persists each
+    launch's unpacked stats so a backend stall mid-phase resumes at the
+    failed launch instead of voiding the whole phase (SURVEY §5.4).
+    """
     from . import pairs as prs
 
     # --- seeds: batched sketch of all exemplars, vectorized hash join -----
@@ -220,6 +226,14 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
         i = 0
         while i < len(rows):
             chunk_rows = rows[i:i + batch]
+            lname = f"b{width}_{i}"
+            cached = (launch_cache.load(lname)
+                      if launch_cache is not None else None)
+            metrics.add("map_windows", len(chunk_rows))
+            if cached is not None:
+                launches.append((chunk_rows, cached, None))
+                i += batch
+                continue
             P = _pad_pow2(len(chunk_rows), batch)
             qd = np.full((P, qw_all), alphabet.DNA_PAD, np.int8)
             td = np.full((P, width), alphabet.DNA_PAD, np.int8)
@@ -239,14 +253,18 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
             if (P, width) not in warmed:
                 jax.block_until_ready(handle)
                 warmed.add((P, width))
-            launches.append((chunk_rows, handle))
-            metrics.add("map_windows", len(chunk_rows))
+            launches.append((chunk_rows, handle, lname))
             metrics.add("sw_lane_cells", P * (qw_all + width - 1) * band)
             metrics.add("sw_launches", 1)
             i += batch
 
-    for chunk_rows, handle in launches:
-        res = sw.unpack_stats(np.asarray(handle), len(chunk_rows))
+    for chunk_rows, handle, lname in launches:
+        if isinstance(handle, dict):
+            res = handle               # resumed from the launch cache
+        else:
+            res = sw.unpack_stats(np.asarray(handle), len(chunk_rows))
+            if launch_cache is not None:
+                launch_cache.store(lname, res)
         for ri, (ex, ci, strand, a, b) in enumerate(chunk_rows):
             if res["score"][ri] <= 0:
                 continue

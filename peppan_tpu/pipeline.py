@@ -249,12 +249,19 @@ def _run_inner(paths: list, cfg: PipelineConfig,
     else:
         gindex = genome_map.index_genomes(genome_store, k=cfg.kmer,
                                           w=cfg.window)
+        # launch-granular resume inside the longest phase: a tunnel
+        # stall/crash resumes at the failed launch, not the phase start
+        launch_cache = manifest.LaunchCache(
+            os.path.join(out_dir, cfg.prefix + ".launch_ckpt"),
+            key="genome_map:" + cache.base_hash,
+            enabled=cfg.continue_run)
         map_hits = genome_map.map_exemplars(
             gene_store, genome_store, clusters.exemplar_ids, gindex,
             min_identity=cfg.match_identity, min_frag_len=cfg.match_frag_len,
             min_frag_prop=cfg.match_frag_prop,
             band=cfg.band, batch=cfg.sw_batch, gap_open=cfg.gap_open,
-            gap_extend=cfg.gap_extend, stitch_gap=cfg.synteny_gap)
+            gap_extend=cfg.gap_extend, stitch_gap=cfg.synteny_gap,
+            launch_cache=launch_cache if cfg.continue_run else None)
         if not cfg.nucl_only:
             # DIAMOND-vs-genome stage: protein-search each genome for the
             # groups that nucleotide mapping left missing there (divergent
@@ -297,6 +304,8 @@ def _run_inner(paths: list, cfg: PipelineConfig,
         cache.store("genome_map", {
             f.name: getattr(map_hits, f.name)
             for f in dataclasses.fields(genome_map.MapHits)})
+        launch_cache.clear()       # phase committed; per-launch files are
+        #                            redundant now
     tick("genome_map", t0)
     log.info("map_hits=%d", len(map_hits))
 

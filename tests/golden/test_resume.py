@@ -60,3 +60,40 @@ def test_config_change_invalidates_cache(tmp_path):
                                             clust_identity=0.95),
                       out_dir=out)
     assert r2 is not None  # recomputed without error
+
+
+def test_launch_cache_resume(tmp_path):
+    """Launch-granular resume inside genome_map: the second run replays
+    every launch from the cache (0 device launches) byte-identically; a
+    key change wipes the stale entries."""
+    import dataclasses
+
+    from peppan_tpu.io import gff
+    from peppan_tpu.ops import genome_map
+    from peppan_tpu.utils import manifest, metrics
+
+    sim = simulate.simulate(n_genomes=3, n_core=8, n_accessory=3, seed=43)
+    paths = simulate.write_gff(sim, str(tmp_path / "gff"))
+    genomes, genes = gff.load_genomes(paths)
+    gindex = genome_map.index_genomes(genomes)
+    ex = np.arange(genes.n_genes)
+
+    d = str(tmp_path / "lc")
+    lc = manifest.LaunchCache(d, key="k1")
+    metrics.reset()
+    h1 = genome_map.map_exemplars(genes, genomes, ex, gindex,
+                                  launch_cache=lc)
+    n_launch_1 = metrics.snapshot().get("sw_launches", 0)
+    assert n_launch_1 > 0
+
+    lc2 = manifest.LaunchCache(d, key="k1")      # same key: entries kept
+    metrics.reset()
+    h2 = genome_map.map_exemplars(genes, genomes, ex, gindex,
+                                  launch_cache=lc2)
+    assert metrics.snapshot().get("sw_launches", 0) == 0
+    for f in dataclasses.fields(genome_map.MapHits):
+        assert np.array_equal(getattr(h1, f.name), getattr(h2, f.name)), \
+            f.name
+
+    manifest.LaunchCache(d, key="k2")            # key change: wiped
+    assert not [f for f in os.listdir(d) if f.endswith(".npz")]
