@@ -139,3 +139,215 @@ def sw_banded_scores_pallas_v2(q: jax.Array, t: jax.Array, *,
             transcendentals=0),
     )(qT, tT)
     return jnp.max(hmax_all, axis=0)
+
+@functools.partial(jax.jit, static_argnames=(
+    "match", "mismatch", "gap_open", "gap_extend", "band", "c0", "block_p",
+    "chunk", "interpret"))
+def sw_banded_stats_pallas_v2(q: jax.Array, t: jax.Array, *,
+                              match: int = 2, mismatch: int = -3,
+                              gap_open: int = 5, gap_extend: int = 2,
+                              band: int = 128, c0: int = 0,
+                              block_p: int = 128, chunk: int = CHUNK,
+                              interpret: bool = False) -> jax.Array:
+    """Stats-mode register-carry kernel: packed int32[7, P] result in
+    ops.sw.STATS_KEYS order, bit-equal to ops.sw.sw_banded_packed with the
+    DNA equality scorer (qpad=5/tpad=6 conventions, n_real_tokens=4).
+
+    Same band geometry, shift schedule, packed-halves stats encoding
+    (SMA = matches<<16|aln_len, SQT = (q+BIAS)<<16|(t+BIAS)) and
+    tie-breaks as the XLA-scan engine; the chunk-unrolled fori_loop keeps
+    all 17 carried (band, block_p) tiles register/VMEM-resident per chunk
+    instead of round-tripping scratch every half-step.
+    """
+    if c0 % 2 != 0:
+        raise ValueError("c0 must be even")
+    if chunk % 8 != 0:
+        raise ValueError("chunk must be a multiple of 8 (sublane quantum)")
+    P, Mq = q.shape
+    _, Mt = t.shape
+    B = band
+    if P % block_p:
+        raise ValueError(f"P={P} not a multiple of block_p={block_p}")
+    open_first = gap_open + gap_extend
+    BIAS = B + abs(c0) + 2
+    if (Mq + BIAS > 32767 or min(Mq, Mt) + 1 > 32767
+            or Mt + BIAS >= 65536 or Mq + Mt >= 65536):
+        raise ValueError("stats packing: widths exceed the 16-bit halves "
+                         f"(Mq={Mq}, Mt={Mt}, BIAS={BIAS})")
+
+    D = Mq + Mt - 1
+    K = (D + 1) // 2
+    Kpad = ((K + chunk - 1) // chunk) * chunk
+
+    PADL = B // 2 + abs(c0) // 2 + 2
+    i0p0 = (-c0) // 2 - B // 2 + PADL
+    wq_need = (2 * (Kpad - 1) - c0) // 2 - B // 2 + PADL + B + 2 * chunk
+    qT = jnp.pad(q.astype(jnp.int32),
+                 ((0, 0), (PADL, max(0, wq_need - Mq - PADL))),
+                 constant_values=5).T          # (Wq, P)
+    trev = jnp.flip(t.astype(jnp.int32), axis=1)
+    x0_of = lambda d: Mt - 1 - d + ((d - c0) // 2 - B // 2)  # noqa: E731
+    PADT = max(0, -x0_of(2 * Kpad - 1)) + 2 * chunk
+    wt_need = x0_of(0) + PADT + B + 2 + 2 * chunk
+    tT = jnp.pad(trev, ((0, 0), (PADT, max(0, wt_need - Mt - PADT))),
+                 constant_values=6).T          # (Wt, P)
+    Wq = qT.shape[0]
+    Wt = tT.shape[0]
+    x0base = Mt - 2 + PADT - c0 // 2 - B // 2
+    rq = i0p0 % chunk
+    qalign = i0p0 - rq
+    tlow0 = x0base - (chunk - 1)
+    rt = tlow0 % chunk
+    talign = tlow0 - rt
+    del rt
+
+    def kernel(q_ref, t_ref, bs_ref, bd_ref, bij_ref, bsma_ref, bsqt_ref):
+        zero = jnp.zeros((B, block_p), jnp.int32)
+        lanevec = jax.lax.broadcasted_iota(jnp.int32, (B, block_p), 0)
+
+        def half(d, i0r, qs, ts, parity, st):
+            (H1, H2, E1, F1,
+             SH1a, SH1b, SH2a, SH2b, SE1a, SE1b, SF1a, SF1b,
+             bS, bD, bIJ, bSMA, bSQT) = st
+            sv = jnp.where(qs == ts, match, mismatch)
+            if parity == 0:
+                Hup, Fup = H1, F1
+                Hleft = jnp.concatenate([H1[1:], zero[:1]], axis=0)
+                Eleft = jnp.concatenate([E1[1:], zero[:1] + NEG], axis=0)
+                SHua, SHub = SH1a, SH1b
+                SHla = jnp.concatenate([SH1a[1:], zero[:1]], axis=0)
+                SHlb = jnp.concatenate([SH1b[1:], zero[:1]], axis=0)
+                SEla = jnp.concatenate([SE1a[1:], zero[:1]], axis=0)
+                SElb = jnp.concatenate([SE1b[1:], zero[:1]], axis=0)
+                SFua, SFub = SF1a, SF1b
+            else:
+                Hup = jnp.concatenate([zero[:1], H1[:-1]], axis=0)
+                Fup = jnp.concatenate([zero[:1] + NEG, F1[:-1]], axis=0)
+                Hleft, Eleft = H1, E1
+                SHua = jnp.concatenate([zero[:1], SH1a[:-1]], axis=0)
+                SHub = jnp.concatenate([zero[:1], SH1b[:-1]], axis=0)
+                SHla, SHlb = SH1a, SH1b
+                SEla, SElb = SE1a, SE1b
+                SFua = jnp.concatenate([zero[:1], SF1a[:-1]], axis=0)
+                SFub = jnp.concatenate([zero[:1], SF1b[:-1]], axis=0)
+            e_open = Hleft - open_first
+            e_ext = Eleft - gap_extend
+            En = jnp.maximum(e_open, e_ext)
+            f_open = Hup - open_first
+            f_ext = Fup - gap_extend
+            Fn = jnp.maximum(f_open, f_ext)
+            dv = H2 + sv
+            Hn = jnp.maximum(jnp.maximum(dv, 0), jnp.maximum(En, Fn))
+
+            ivec = i0r + lanevec
+            jvec = d - ivec
+            is_match = (qs == ts).astype(jnp.int32)
+
+            eo = e_open >= e_ext
+            SEna = jnp.where(eo, SHla, SEla) + 1
+            SEnb = jnp.where(eo, SHlb, SElb)
+            fo = f_open >= f_ext
+            SFna = jnp.where(fo, SHua, SFua) + 1
+            SFnb = jnp.where(fo, SHub, SFub)
+
+            fresh = H2 == 0
+            cur_qt = (ivec + BIAS) * 65536 + (jvec + BIAS)
+            dadd = is_match * 65536 + 1
+            SMAdv = jnp.where(fresh, 0, SH2a) + dadd
+            SQTdv = jnp.where(fresh, cur_qt, SH2b)
+
+            pos = Hn > 0
+            use_diag = (dv == Hn) & pos
+            use_e = (~use_diag) & (En == Hn) & pos
+
+            def pick(dvv, evv, fvv):
+                x = jnp.where(use_e, evv, fvv)
+                x = jnp.where(use_diag, dvv, x)
+                return jnp.where(pos, x, 0)
+
+            SHna = pick(SMAdv, SEna, SFna)
+            SHnb = pick(SQTdv, SEnb, SFnb)
+
+            upd = Hn > bS
+            bS = jnp.where(upd, Hn, bS)
+            bD = jnp.where(upd, d, bD)
+            bIJ = jnp.where(upd, cur_qt, bIJ)
+            bSMA = jnp.where(upd, SHna, bSMA)
+            bSQT = jnp.where(upd, SHnb, bSQT)
+            return (Hn, H1, En, Fn,
+                    SHna, SHnb, SH1a, SH1b, SEna, SEnb, SFna, SFnb,
+                    bS, bD, bIJ, bSMA, bSQT)
+
+        def chunk_body(c, st):
+            qbase = pl.multiple_of(qalign + c * chunk, chunk)
+            tbase = pl.multiple_of(talign - c * chunk, chunk)
+            qblk = q_ref[pl.ds(qbase, B + 2 * chunk), :]
+            tblk = t_ref[pl.ds(tbase, B + 2 * chunk + 1), :]
+            for u in range(chunk):
+                kk = c * chunk + u           # double-step index
+                i0r = kk + i0p0 - PADL
+                qs = qblk[rq + u:rq + u + B, :]
+                toff = (x0base - talign) - u
+                ts_odd = tblk[toff:toff + B, :]
+                ts_even = tblk[toff + 1:toff + 1 + B, :]
+                st = half(2 * kk, i0r, qs, ts_even, 0, st)
+                st = half(2 * kk + 1, i0r, qs, ts_odd, 1, st)
+            return st
+
+        zero = jnp.zeros((B, block_p), jnp.int32)
+        init = (zero, zero, zero + NEG, zero + NEG,
+                zero, zero, zero, zero, zero, zero, zero, zero,
+                zero, zero, zero, zero, zero)
+        st = jax.lax.fori_loop(0, Kpad // chunk, chunk_body, init)
+        bs_ref[:] = st[12]
+        bd_ref[:] = st[13]
+        bij_ref[:] = st[14]
+        bsma_ref[:] = st[15]
+        bsqt_ref[:] = st[16]
+
+    grid = (P // block_p,)
+    ospec = pl.BlockSpec((B, block_p), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((B, P), jnp.int32)
+    bS, bD, bIJ, bSMA, bSQT = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Wq, block_p), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wt, block_p), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(ospec,) * 5,
+        out_shape=(oshape,) * 5,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=P * D * B * 24, bytes_accessed=P * (Wq + Wt) * 4,
+            transcendentals=0),
+    )(qT, tT)
+
+    # cross-lane pick (same order as ops.sw.sw_banded): earliest
+    # anti-diagonal, then smallest query row = smallest band index
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (B, P), 0)
+    s_star = jnp.max(bS, axis=0, keepdims=True)
+    key = bD * jnp.int32(B) + lanes
+    key = jnp.where(bS == s_star, key, jnp.int32(2 ** 31 - 1))
+    lane = jnp.argmin(key, axis=0)
+
+    def at_lane(S):
+        return jnp.take_along_axis(S, lane[None, :], axis=0)[0]
+
+    score = s_star[0]
+    empty = score <= 0
+    ij = at_lane(bIJ)
+    sma = at_lane(bSMA)
+    sqt = at_lane(bSQT)
+    return jnp.stack([
+        score,
+        jnp.where(empty, -1, (ij >> 16) - BIAS),              # qend
+        jnp.where(empty, -1, (ij & 0xFFFF) - BIAS),           # tend
+        jnp.where(empty, 0, sma >> 16),                       # matches
+        jnp.where(empty, 0, sma & 0xFFFF),                    # aln_len
+        jnp.where(empty, 0, (sqt >> 16) - BIAS),              # qstart
+        jnp.where(empty, 0, (sqt & 0xFFFF) - BIAS),           # tstart
+    ])

@@ -87,7 +87,25 @@ def dna_scorer(match: int = 2, mismatch: int = -3) -> Callable:
     def scorer(qc: jax.Array, tc: jax.Array) -> jax.Array:
         return jnp.where(qc == tc, match, mismatch).astype(jnp.int32)
 
+    # tag so sw_banded can dispatch equality-scored stats launches to the
+    # register-carry Pallas kernel (same semantics, ~1.8x the scan)
+    scorer.equality = (match, mismatch)
     return scorer
+
+
+def _pallas_stats_enabled() -> bool:
+    """Production stats launches ride the Pallas v2 kernel on TPU-class
+    backends; CPU (tests / virtual meshes) keeps the XLA scan — the two
+    are bit-equal (tests/unit/test_pallas_kernel.py), so the choice is
+    invisible to results.  Override with PEPPAN_PALLAS_STATS=0/1."""
+    import os
+
+    env = os.environ.get("PEPPAN_PALLAS_STATS", "").lower()
+    if env in ("0", "off", "false"):
+        return False
+    if env in ("1", "on", "true"):
+        return True
+    return jax.default_backend() != "cpu"
 
 
 def matrix_scorer(submat: np.ndarray) -> Callable:
@@ -155,6 +173,19 @@ def sw_banded(q: jax.Array, t: jax.Array, *, scorer: Callable,
     _, Mt = t.shape
     B = band
     open_first = gap_open + gap_extend
+
+    # Pallas fast path: equality-scored stats launches with default pad
+    # conventions go to the register-carry kernel when the backend wants
+    # it (bit-equal; see _pallas_stats_enabled)
+    eq = getattr(scorer, "equality", None)
+    if (with_stats and eq is not None and qpad == 5 and tpad == T_PAD
+            and n_real_tokens == 4 and P % 128 == 0 and P > 0
+            and _pallas_stats_enabled()):
+        from .kernels.banded_sw_v2 import sw_banded_stats_pallas_v2
+        packed = sw_banded_stats_pallas_v2(
+            q, t, match=eq[0], mismatch=eq[1], gap_open=gap_open,
+            gap_extend=gap_extend, band=band, c0=c0)
+        return {k: packed[i] for i, k in enumerate(STATS_KEYS)}
 
     D = Mq + Mt - 1            # number of anti-diagonals
     K = (D + 1) // 2           # double-steps

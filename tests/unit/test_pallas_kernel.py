@@ -67,3 +67,39 @@ def test_pallas_v2_c0_and_chunk(rng):
     assert np.array_equal(ref, got)
     with pytest.raises(ValueError):
         pk2.sw_banded_scores_pallas_v2(q, tp, chunk=4, interpret=True)
+
+
+@pytest.mark.parametrize("P,Mq,Mt,B,c0", [(8, 128, 128, 64, 0),
+                                          (16, 200, 320, 32, 0),
+                                          (8, 100, 164, 32, 64)])
+def test_pallas_v2_stats_matches_scan(rng, P, Mq, Mt, B, c0):
+    """Stats-mode v2 kernel: packed (7, P) result bit-equal to
+    sw_banded_packed (all seven fields, including tie-broken coords)."""
+    q = rng.integers(0, 5, (P, Mq)).astype(np.int8)   # include some N
+    t = rng.integers(0, 4, (P, Mt)).astype(np.int8)
+    for i in range(0, P, 2):
+        L = min(Mq, Mt)
+        t[i, :L] = np.where(q[i, :L] == 4, 0, q[i, :L])
+        m = rng.random(L) < 0.1
+        t[i, :L][m] = (t[i, :L][m] + 1) % 4
+    # sprinkle insert/delete to exercise E/F stat propagation
+    t[1, 40:44] = (t[1, 40:44] + 2) % 4
+    tp = sw.prep_target_tokens(t)
+    ref = np.asarray(sw.sw_banded_packed(q, tp, scorer=sw.dna_scorer(),
+                                         band=B, c0=c0))
+    got = np.asarray(pk2.sw_banded_stats_pallas_v2(
+        q, tp, band=B, c0=c0, block_p=8, interpret=True))
+    assert np.array_equal(ref, got)
+
+
+def test_pallas_v2_stats_empty_alignment(rng):
+    """All-mismatch pairs must report the empty-alignment sentinel values
+    exactly like the scan engine."""
+    q = np.zeros((8, 64), np.int8)            # all A
+    t = np.full((8, 64), 3, np.int8)          # all T
+    tp = sw.prep_target_tokens(t)
+    ref = np.asarray(sw.sw_banded_packed(q, tp, scorer=sw.dna_scorer(),
+                                         band=32))
+    got = np.asarray(pk2.sw_banded_stats_pallas_v2(
+        q, tp, band=32, block_p=8, interpret=True))
+    assert np.array_equal(ref, got)
