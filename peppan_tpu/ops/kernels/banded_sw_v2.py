@@ -158,6 +158,15 @@ def sw_banded_stats_pallas_v2(q: jax.Array, t: jax.Array, *,
     tie-breaks as the XLA-scan engine; the chunk-unrolled fori_loop keeps
     all 17 carried (band, block_p) tiles register/VMEM-resident per chunk
     instead of round-tripping scratch every half-step.
+
+    MEASURED (v5e, cache-proof slope, P=4096 M=1024 B=128): ~34-36
+    Gcell/s vs ~95 for the XLA scan in stats mode — 17 carries exceed
+    the register budget and spill per half-step (score mode's 5 carries
+    hit 145-155).  Kept as a verified alternate; production dispatch
+    stays off by default (ops.sw._pallas_stats_enabled).  Next levers:
+    drop the redundant bD carry (derivable from bIJ), int16 packing of
+    the H/E/F scores, or splitting the stats into a second pass over
+    per-chunk checkpointed wavefront state.
     """
     if c0 % 2 != 0:
         raise ValueError("c0 must be even")

@@ -94,18 +94,19 @@ def dna_scorer(match: int = 2, mismatch: int = -3) -> Callable:
 
 
 def _pallas_stats_enabled() -> bool:
-    """Production stats launches ride the Pallas v2 kernel on TPU-class
-    backends; CPU (tests / virtual meshes) keeps the XLA scan — the two
-    are bit-equal (tests/unit/test_pallas_kernel.py), so the choice is
-    invisible to results.  Override with PEPPAN_PALLAS_STATS=0/1."""
+    """Whether equality-scored stats launches dispatch to the Pallas v2
+    stats kernel (bit-equal; tests/unit/test_pallas_kernel.py and an
+    on-TPU check).  DEFAULT OFF: measured on v5e (cache-proof slope,
+    P=4096 M=1024 B=128, 2026-08-17) the stats-mode Pallas kernel runs
+    ~34-36 Gcell/s vs ~95 for the XLA scan — the 17 carried (band,
+    block_p) stat tiles exceed the register budget and spill every
+    half-step, unlike score mode's 5 carries (145-155 Gcell/s).  The
+    kernel stays as a verified alternate + optimization target; flip on
+    with PEPPAN_PALLAS_STATS=1 for experiments."""
     import os
 
-    env = os.environ.get("PEPPAN_PALLAS_STATS", "").lower()
-    if env in ("0", "off", "false"):
-        return False
-    if env in ("1", "on", "true"):
-        return True
-    return jax.default_backend() != "cpu"
+    return os.environ.get("PEPPAN_PALLAS_STATS", "").lower() in (
+        "1", "on", "true")
 
 
 def matrix_scorer(submat: np.ndarray) -> Callable:
