@@ -51,7 +51,8 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
                         min_identity: float = 0.35, min_frag_aa: int = 20,
                         band: int = 64, slack: int = 24, batch: int = 1024,
                         gap_open: int = 11, gap_extend: int = 1,
-                        match_score: int = 2, chunk: int = 1 << 13) -> MapHits:
+                        match_score: int = 2, chunk: int = 1 << 13,
+                        min_seeds: int = 2) -> MapHits:
     """Protein-search genomes for exemplars missing there.
 
     missing: {genome_index: [exemplar gene ids]}.  Returns MapHits in
@@ -142,6 +143,18 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
         first = np.flatnonzero(brk)
         c_ex, c_ct, c_f = exs[first], cts[first], fds[first]
         c_g, c_q = gps2[first], qps2[first]
+        # DIAMOND's two-hit rule (its double-indexing demands two seed
+        # hits before extension): single-seed chains of full-length
+        # proteins are overwhelmingly Murphy-10 noise — at 2000 genomes
+        # they ballooned to 2.9M BLOSUM62 windows (~20 per missing
+        # combo), dominating the genome_map phase.  Short proteins keep
+        # the single-seed escape like the DNA path's fragment exception.
+        nseeds = np.diff(np.r_[first, len(order2)])
+        Laa_chain = aa_store.length[c_ex].astype(np.int64)
+        chain_keep = ~((nseeds < min_seeds)
+                       & (Laa_chain > 4 * min_frag_aa))
+        c_ex, c_ct, c_f = c_ex[chain_keep], c_ct[chain_keep], c_f[chain_keep]
+        c_g, c_q = c_g[chain_keep], c_q[chain_keep]
 
         # --- collect candidate windows (host slices; alignment is batched
         # across ALL genomes below — one row per launch wasted 7/8 of every
@@ -155,7 +168,8 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
                     genomes.contig_tokens(ctg), gtable)[fid][1]
             return frame_cache[key]
 
-        for ci2 in range(len(first)):
+        seen_windows: set = set()
+        for ci2 in range(len(c_ex)):
             row = int(c_ex[ci2])
             Laa = int(aa_store.length[row])
             ctg = int(c_ct[ci2])
@@ -165,6 +179,13 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
             b = min(len(frame_aa), a + Laa + 2 * slack)
             if b - a < min_frag_aa:
                 continue
+            # nearby chains collapse to one window: quantizing the start
+            # by `slack` dedups same-locus candidates (the window already
+            # carries +-slack around the chain anchor)
+            wkey = (row, ctg, fid, a // max(slack, 1))
+            if wkey in seen_windows:
+                continue
+            seen_windows.add(wkey)
             cand_all.append((row, gidx, ctg, fid, a,
                              np.ascontiguousarray(frame_aa[a:b])))
         frame_cache.clear()

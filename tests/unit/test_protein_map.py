@@ -100,3 +100,43 @@ def test_frameshifted_divergent_copy_stitched_pseudogene(tmp_path):
     # region must span (most of) the planted gene, i.e. cover both frames
     span = int(res.regions.end[i]) - int(res.regions.start[i]) + 1
     assert span > 0.7 * len(g2)
+
+
+def test_two_hit_rule_suppresses_single_seed_noise():
+    """DIAMOND's two-hit rule: a full-length protein chaining off ONE
+    shared Murphy-10 minimizer must not spawn an alignment window, while
+    a genuine diverged homolog (many shared seeds) still maps."""
+    from peppan_tpu.io import gff
+    from peppan_tpu.io.tokens import GeneStore, GenomeStore
+    from peppan_tpu.ops import protein_map
+    from peppan_tpu.utils import metrics, simulate
+
+    rng = np.random.default_rng(7)
+    sim = simulate.simulate(n_genomes=2, n_core=6, n_accessory=0,
+                            mean_gene_codons=200, divergence=0.01, seed=77)
+    paths_dir = simulate.write_gff(sim, "/tmp/twohit_gff")
+    genomes, genes = gff.load_genomes(paths_dir)
+
+    # a homolog of gene 0 lives in genome 1 (core family): protein map
+    # for {genome 1: [gene 0]} must find it (multi-seed chain) ...
+    metrics.reset()
+    hits = protein_map.map_missing_protein(
+        genes, genomes, np.arange(genes.n_genes), {1: [0]})
+    assert len(hits) > 0
+    multi_windows = metrics.snapshot().get("protein_map_windows", 0)
+    assert multi_windows >= 1
+
+    # ... while a random protein (no real homolog anywhere) yields no
+    # windows at all, even though Murphy-10 7-mer collisions against a
+    # whole genome's 6 frames are likely
+    rand = rng.integers(0, 4, 600).astype(np.int8)
+    rand[0:3] = [0, 3, 2]
+    seqs = [genes.gene_tokens(i) for i in range(genes.n_genes)] + [rand]
+    genes2 = GeneStore.from_sequences(
+        seqs, genome=np.r_[genes.genome, [0]])
+    metrics.reset()
+    protein_map.map_missing_protein(
+        genes2, genomes, np.arange(genes2.n_genes),
+        {1: [genes2.n_genes - 1]})
+    rand_windows = metrics.snapshot().get("protein_map_windows", 0)
+    assert rand_windows == 0, rand_windows
