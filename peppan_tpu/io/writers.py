@@ -163,3 +163,23 @@ def write_gene_content(path_rtab: str, path_csv: str, matrix: np.ndarray,
         for g in order:
             fh.write(group_names[g] + "," +
                      ",".join(str(int(c)) for c in matrix[g]) + "\n")
+
+
+def write_gene_fasta(path: str, gene_store: GeneStore,
+                     ids: np.ndarray | None = None) -> None:
+    """Plain FASTA of gene sequences by annotation name.
+
+    Reference parity: PEPPA writes the pooled gene FASTA
+    (`<prefix>.genes.fna`, PEPPA.py::writeGenomes) and the cluster
+    exemplar FASTA (getClust) as named intermediates users consume
+    directly (SURVEY.md §2.1; mount empty at build time).  `ids=None`
+    writes every gene in store order; otherwise exactly `ids`, in the
+    given order (deterministic).
+    """
+    sel = np.arange(gene_store.n_genes) if ids is None else np.asarray(ids)
+    with open(path, "w") as fh:
+        for idx in map(int, sel):
+            s = alphabet.decode_dna(gene_store.gene_tokens(idx))
+            fh.write(f">{gene_store.names[idx]}\n")
+            for i in range(0, len(s), 80):
+                fh.write(s[i:i + 80] + "\n")

@@ -405,9 +405,15 @@ def _run_inner(paths: list, cfg: PipelineConfig,
         "rtab": pre + ".gene_content.Rtab",
         "csv": pre + ".gene_content.csv",
         "clust": pre + ".clust.tab",
+        "genes": pre + ".genes.fna",
+        "exemplars": pre + ".exemplar.fna",
     }
     writers.write_region_gff(outputs["gff"], genome_store, regions,
                              group_names, gene_store.names)
+    # reference-parity intermediates: pooled gene FASTA + exemplar FASTA
+    writers.write_gene_fasta(outputs["genes"], gene_store)
+    writers.write_gene_fasta(outputs["exemplars"], gene_store,
+                             clusters.exemplar_ids)
     writers.write_clusters(outputs["clust"], gene_store, clusters.exemplar,
                            group_of_gene, group_names)
     writers.write_alleles(outputs["alleles"], gene_store, group_of_gene,
