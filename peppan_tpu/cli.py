@@ -24,6 +24,9 @@ def _pan_parser(sub):
     p.add_argument("-o", "--out_dir", default=".")
     p.add_argument("-t", "--n_thread", type=int, default=None,
                    help="accepted for PEPPA compatibility; ignored")
+    p.add_argument("-g", "--genes", nargs="*", default=[],
+                   help="FASTA files of curated reference genes to add "
+                        "to the pool (outrank all annotations)")
     p.add_argument("-P", "--priority", nargs="*", default=[],
                    help="genome names whose annotations are trusted first")
     p.add_argument("--untrusted", nargs="*", default=[],
@@ -199,7 +202,8 @@ def main(argv=None) -> int:
         from .config import PipelineConfig
 
         cfg = PipelineConfig(
-            prefix=args.prefix, priority=tuple(args.priority),
+            prefix=args.prefix, genes=tuple(args.genes),
+            priority=tuple(args.priority),
             untrusted=tuple(args.untrusted),
             min_cds=args.min_cds,
             incomplete_cds=args.incompleteCDS, gtable=args.gtable,

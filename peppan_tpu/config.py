@@ -17,6 +17,10 @@ class PipelineConfig:
     prefix: str = "PEPPAN_TPU"          # --prefix/-p : output file prefix
     priority: tuple = ()                # --priority : genome names whose
     #                                     annotations are trusted first
+    genes: tuple = ()                   # --genes/-g : FASTA files of
+    #   curated reference genes added to the pool as pseudo-genomes; they
+    #   outrank every annotation for exemplar choice (PEPPA's mechanism
+    #   for trusted external gene sets)
     untrusted: tuple = ()               # --untrusted : genome names whose
     #                                     annotations rank LAST for exemplar
     #                                     choice (inverse of --priority)

@@ -100,6 +100,39 @@ class GeneStore:
             names=[self.names[int(i)] for i in idx],
         )
 
+    def with_external(self, seqs: Sequence[np.ndarray], names: list,
+                      genome_id: int) -> "GeneStore":
+        """Append EXTERNAL genes (PEPPA's --genes curated references).
+
+        External genes belong to a pseudo-genome (`genome_id`, an index
+        past the real genomes) with no contigs: contig = -1 and zero
+        coordinates, so they participate in pooling/clustering/exemplar
+        choice but can never overlap-match an annotated locus or appear
+        in the presence matrix (regions only land on real genomes).
+        """
+        n = len(seqs)
+        if n == 0:
+            return self
+        lengths = np.asarray([len(s) for s in seqs], np.int32)
+        offset = np.zeros(self.n_genes + n + 1, np.int64)
+        offset[:self.n_genes + 1] = self.offset
+        np.cumsum(lengths, out=offset[self.n_genes + 1:])
+        offset[self.n_genes + 1:] += self.offset[-1]
+        return GeneStore(
+            tokens=np.concatenate(
+                [self.tokens] + [np.asarray(s, np.int8) for s in seqs]),
+            offset=offset,
+            length=np.r_[self.length, lengths].astype(np.int32),
+            genome=np.r_[self.genome,
+                         np.full(n, genome_id, np.int32)].astype(np.int32),
+            contig=np.r_[self.contig, np.full(n, -1, np.int32)].astype(
+                np.int32),
+            start=np.r_[self.start, np.ones(n, np.int64)].astype(np.int64),
+            end=np.r_[self.end, np.zeros(n, np.int64)].astype(np.int64),
+            strand=np.r_[self.strand, np.ones(n, np.int8)].astype(np.int8),
+            names=list(self.names) + list(names),
+        )
+
     @staticmethod
     def from_sequences(seqs: Sequence[np.ndarray], *, genome=None, contig=None,
                        start=None, end=None, strand=None, names=None) -> "GeneStore":

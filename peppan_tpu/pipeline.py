@@ -185,12 +185,23 @@ def _run_inner(paths: list, cfg: PipelineConfig,
     genome_store, gene_store = gff.load_genomes(
         paths, min_cds=cfg.min_cds, incomplete_cds=cfg.incomplete_cds,
         gtable=cfg.gtable)
+    # --genes: curated reference gene FASTAs join the pool as
+    # pseudo-genomes past the real ones (no contigs; see
+    # GeneStore.with_external) and outrank every annotation below
+    for fi, gpath in enumerate(cfg.genes):
+        fa = gff.read_fasta(gpath)
+        gene_store = gene_store.with_external(
+            list(fa.values()), list(fa.keys()),
+            genome_store.n_genomes + fi)
+    n_total_genomes = genome_store.n_genomes + len(cfg.genes)
     tick("read_gff", t0)
-    log.info("genomes=%d contigs=%d genes=%d", genome_store.n_genomes,
-             genome_store.n_contigs, gene_store.n_genes)
+    log.info("genomes=%d contigs=%d genes=%d%s", genome_store.n_genomes,
+             genome_store.n_contigs, gene_store.n_genes,
+             f" (+{len(cfg.genes)} external files)" if cfg.genes else "")
 
     cache = manifest.PhaseCache(
-        os.path.join(out_dir, cfg.prefix + ".phase_cache"), list(paths),
+        os.path.join(out_dir, cfg.prefix + ".phase_cache"),
+        list(paths) + list(cfg.genes),
         repr(cfg), cfg.continue_run)
 
     t0 = time.time()
@@ -205,8 +216,10 @@ def _run_inner(paths: list, cfg: PipelineConfig,
         log.info("cluster: resumed from cache")
     else:
         # --priority: genomes listed earlier outrank the rest (ties by
-        # input order within the same rank); --untrusted genomes rank LAST
-        prio = np.full(genome_store.n_genomes, len(cfg.priority), np.int64)
+        # input order within the same rank); --untrusted genomes rank
+        # LAST; --genes pseudo-genomes rank FIRST (rank -1)
+        prio = np.full(n_total_genomes, len(cfg.priority), np.int64)
+        prio[genome_store.n_genomes:] = -1
         for rank, pname in enumerate(cfg.priority):
             for gi, gname in enumerate(genome_store.genome_names):
                 if gname == pname and prio[gi] == len(cfg.priority):
@@ -220,7 +233,7 @@ def _run_inner(paths: list, cfg: PipelineConfig,
             coverage=cfg.clust_match_prop, k=cfg.kmer, w=cfg.window,
             band=cfg.band, max_group=cfg.max_minimizer_group,
             batch=cfg.sw_batch, mesh=mesh,
-            genome_priority=prio if (len(cfg.priority)
+            genome_priority=prio if (len(cfg.priority) or len(cfg.genes)
                                      or len(cfg.untrusted)) else None)
         cache.store("cluster", {
             "root": clusters.root, "exemplar": clusters.exemplar,
@@ -317,7 +330,7 @@ def _run_inner(paths: list, cfg: PipelineConfig,
         else:
             div = split.estimate_divergence(gene_store, group_of_gene,
                                             clusters.hits,
-                                            genome_store.n_genomes)
+                                            n_total_genomes)
             new_groups = split.split_groups(
                 gene_store, group_of_gene, div,
                 allowed_sigma=cfg.allowed_sigma, band=cfg.band,
@@ -348,7 +361,7 @@ def _run_inner(paths: list, cfg: PipelineConfig,
     resplit_fn = None
     if cfg.paralog_split:
         div_model = split.estimate_divergence(
-            gene_store, group_of_gene, clusters.hits, genome_store.n_genomes)
+            gene_store, group_of_gene, clusters.hits, n_total_genomes)
 
         def resplit_fn(_gid, hit_idx, _mh=map_hits):
             seqs = []

@@ -113,3 +113,42 @@ def test_cli_flag_parsing():
     assert args2.incompleteCDS is True
     args3 = ap.parse_args(["pan", "x.gff"])
     assert args3.incompleteCDS is False
+
+
+def test_external_genes_flag(tmp_path):
+    """--genes/-g: curated reference genes join the pool as pseudo-genome
+    members, OUTRANK annotations for exemplar choice, and never appear as
+    regions or presence-matrix columns."""
+    sim = simulate.simulate(n_genomes=3, n_core=8, n_accessory=3, seed=55)
+    paths = simulate.write_gff(sim, str(tmp_path / "gff"))
+    # external FASTA = an exact copy of one annotated gene, renamed
+    genomes, genes = gff.load_genomes(paths)
+    seq = ab.decode_dna(genes.gene_tokens(0))
+    ext = tmp_path / "refs.fna"
+    ext.write_text(f">CURATED_REF\n{seq}\n")
+
+    res = pipeline.run(paths, PipelineConfig(prefix="EXT",
+                                             genes=(str(ext),)),
+                       out_dir=str(tmp_path / "out"))
+    names = res.gene_store.names
+    assert "CURATED_REF" in names
+    ridx = names.index("CURATED_REF")
+    # exemplar of its cluster IS the external gene (rank -1 beats all)
+    assert int(res.clusters.exemplar[0]) == ridx
+    assert int(res.clusters.exemplar[ridx]) == ridx
+    # same group as the annotated copies; regions only on real genomes
+    assert res.group_of_gene[ridx] == res.group_of_gene[0]
+    assert np.all(np.asarray(res.regions.genome) < genomes.n_genomes)
+    # presence matrix columns = real genomes only
+    head = open(res.outputs["rtab"]).readline().rstrip("\n").split("\t")
+    assert len(head) == 1 + genomes.n_genomes
+
+    # determinism + truth: groups still match the no-external run as a
+    # partition restricted to annotated genes
+    res0 = pipeline.run(paths, PipelineConfig(prefix="EXT0"),
+                        out_dir=str(tmp_path / "out0"))
+    a = res.group_of_gene[:res0.gene_store.n_genes]
+    b = res0.group_of_gene
+    fw = {}
+    for x, y in zip(map(int, a), map(int, b)):
+        assert fw.setdefault(x, y) == y
