@@ -66,52 +66,74 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
     aa_tbl = protein.build_aa_minimizer_table(aa_store, k=k, w=w,
                                               batch=batch)
 
-    rows_out = []
-    cand_all = []   # (aa row, genome, contig, frame id, win start, win aa)
+    # per-genome query minimizer subsets (skip genomes with no queries)
+    queries = {}
     for gidx, ex_list in sorted(missing.items()):
         ex_rows = np.asarray(
             [i for i, e in ex_of_row.items() if e in set(map(int, ex_list))])
         if len(ex_rows) == 0:
             continue
         sel = np.isin(aa_tbl.gene, ex_rows)
-        qh, qg, qp = aa_tbl.hash[sel], aa_tbl.gene[sel], aa_tbl.pos[sel]
-        if len(qh) == 0:
-            continue
+        if sel.any():
+            queries[gidx] = (aa_tbl.hash[sel], aa_tbl.gene[sel],
+                             aa_tbl.pos[sel])
 
-        # --- 6-frame AA index of this genome (batched device sketch) ----
-        contigs = [ci for ci in range(genomes.n_contigs)
-                   if genomes.contig_genome[ci] == gidx]
-        meta, mats = [], []
-        overlap = k + w
-        for ci in contigs:
-            toks = genomes.contig_tokens(ci)
+    # --- 6-frame AA minimizer tables for ALL queried genomes, sketched in
+    # SHARED fixed-shape launches.  The per-genome variant paid one ~150 ms
+    # tunnel launch (and often a recompile: variable row counts) per
+    # genome — minutes of pure latency at 500-2000 genomes. -------------
+    overlap = k + w
+    sketch_rows = 512
+    per_g: dict = {g: [] for g in queries}   # [(hash, ctg, fid, pos)]
+    buf_meta: list = []                      # (gidx, ci, fid, s, first)
+    buf_rows: list = []
+
+    def _flush():
+        if not buf_rows:
+            return
+        dense = np.full((sketch_rows, chunk), alphabet.AA_PAD, np.int8)
+        for i, r in enumerate(buf_rows):
+            dense[i, :len(r)] = r
+        rr, cc, hv = minimizers.aa_sketch_flagged(dense, k, w)
+        valid = rr < len(buf_rows)
+        rr, cc, hv = rr[valid], cc[valid], hv[valid]
+        firsts = np.asarray([m[4] for m in buf_meta], bool)
+        keep = firsts[rr] | (cc >= overlap)
+        rr, cc, hv = rr[keep], cc[keep], hv[keep]
+        gx = np.asarray([buf_meta[r][0] for r in rr], np.int64)
+        ct = np.asarray([buf_meta[r][1] for r in rr], np.int32)
+        fd = np.asarray([buf_meta[r][2] for r in rr], np.int8)
+        ps = np.asarray([buf_meta[r][3] for r in rr], np.int64) + cc
+        for g in np.unique(gx):
+            m = gx == g
+            per_g[int(g)].append((hv[m], ct[m], fd[m], ps[m]))
+        buf_meta.clear()
+        buf_rows.clear()
+
+    for gidx in sorted(queries):
+        for ci in np.flatnonzero(
+                np.asarray(genomes.contig_genome) == gidx):
+            toks = genomes.contig_tokens(int(ci))
             for (fid, aa) in _frame_rows(toks, gtable):
                 for si, s in enumerate(range(0, max(len(aa) - overlap, 1),
                                              chunk - overlap)):
-                    seg = aa[s:s + chunk]
-                    row = np.full(chunk, alphabet.AA_PAD, np.int8)
-                    row[:len(seg)] = seg
-                    meta.append((ci, fid, s, si == 0))
-                    mats.append(row)
-        if not mats:
+                    buf_meta.append((gidx, int(ci), fid, s, si == 0))
+                    buf_rows.append(aa[s:s + chunk])
+                    if len(buf_rows) == sketch_rows:
+                        _flush()
+    _flush()
+
+    rows_out = []
+    cand_all = []   # (aa row, genome, contig, frame id, win start, win aa)
+    for gidx in sorted(queries):
+        qh, qg, qp = queries[gidx]
+        parts = per_g[gidx]
+        if not parts:
             continue
-        gh, gctg, gfid, gpos = [], [], [], []
-        for i0 in range(0, len(mats), 256):
-            dense = np.stack(mats[i0:i0 + 256])
-            rr, cc, hv = minimizers.aa_sketch_flagged(dense, k, w)
-            msub = meta[i0:i0 + 256]
-            firsts = np.asarray([m[3] for m in msub], bool)
-            keep = firsts[rr] | (cc >= overlap)
-            rr, cc, hv = rr[keep], cc[keep], hv[keep]
-            gh.append(hv)
-            gctg.append(np.asarray([msub[r][0] for r in rr], np.int32))
-            gfid.append(np.asarray([msub[r][1] for r in rr], np.int8))
-            gpos.append(np.asarray([msub[r][2] for r in rr], np.int64)
-                        + cc)
-        gh = np.concatenate(gh)
-        gctg = np.concatenate(gctg)
-        gfid = np.concatenate(gfid)
-        gposa = np.concatenate(gpos)
+        gh = np.concatenate([p[0] for p in parts])
+        gctg = np.concatenate([p[1] for p in parts])
+        gfid = np.concatenate([p[2] for p in parts])
+        gposa = np.concatenate([p[3] for p in parts])
         order = np.argsort(gh, kind="stable")
         gh, gctg, gfid, gposa = (gh[order], gctg[order], gfid[order],
                                  gposa[order])
