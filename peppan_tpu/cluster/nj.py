@@ -153,6 +153,79 @@ def nj_ref(dm: np.ndarray) -> tuple:
     return parent, blen, child_l, child_r, 2 * n - 2
 
 
+def nj_host(dm: np.ndarray) -> tuple:
+    """Vectorized numpy NJ for LARGE matrices — the rapidnj role at
+    pan-genome-tree scale (SURVEY §7.3.5: device NJ is for the many small
+    gene-family matrices; one 2000-leaf problem wants a host solver, not
+    a 2000-step compiled scan).
+
+    Same slot layout and tie-breaks as nj_batched/nj_ref: joined pair =
+    min Q, ties to the smallest (slot_i * M + slot_j) with slot_i <
+    slot_j.  Works on a compacting working matrix (row j swaps with the
+    last row each step), so the total cost is sum of m^2 = O(n^3) numpy
+    element ops with no python pair loops: n=2000 runs in seconds where
+    the reference oracle (nj_ref, interpreter loops) would take hours.
+    """
+    n = len(dm)
+    M = 2 * n - 1
+    parent = np.full(M, -1, np.int64)
+    blen = np.zeros(M)
+    child_l = np.full(M, -1, np.int64)
+    child_r = np.full(M, -1, np.int64)
+    if n == 1:
+        return parent, blen, child_l, child_r, 0
+    W = dm.astype(np.float64).copy()
+    ids = np.arange(n)
+    r = W.sum(axis=1)
+    for s in range(n - 1):
+        m = len(W)
+        new = n + s
+        if m == 2:
+            i_id, j_id = int(min(ids)), int(max(ids))
+            dij = W[0, 1]
+            parent[i_id] = parent[j_id] = new
+            blen[i_id] = blen[j_id] = max(0.5 * dij, 0.0)
+            child_l[new], child_r[new] = i_id, j_id
+            break
+        Q = (m - 2) * W - r[:, None] - r[None, :]
+        np.fill_diagonal(Q, np.inf)
+        qmin = Q.min()
+        cand_i, cand_j = np.nonzero(Q == qmin)
+        lo = np.minimum(ids[cand_i], ids[cand_j]).astype(np.int64)
+        hi = np.maximum(ids[cand_i], ids[cand_j]).astype(np.int64)
+        pick = int(np.argmin(lo * M + hi))
+        a, b = int(cand_i[pick]), int(cand_j[pick])
+        if ids[a] > ids[b]:
+            a, b = b, a
+        i_id, j_id = int(ids[a]), int(ids[b])
+        dij = W[a, b]
+        li = 0.5 * dij + 0.5 * (r[a] - r[b]) / (m - 2)
+        lj = dij - li
+        parent[i_id] = parent[j_id] = new
+        blen[i_id] = max(li, 0.0)
+        blen[j_id] = max(lj, 0.0)
+        child_l[new], child_r[new] = i_id, j_id
+        dnew = 0.5 * (W[a] + W[b] - dij)
+        dnew[a] = 0.0                   # note dnew[b] is 0 by identity
+        # survivors lose their distances to a and b, gain one to the
+        # merged node — computed BEFORE row a is overwritten
+        r = r - W[:, a] - W[:, b] + dnew
+        r[a] = dnew.sum()
+        # row a becomes the merged node; row b swaps with the last row
+        W[a], W[:, a] = dnew, dnew
+        ids[a] = new
+        last = m - 1
+        if b != last:
+            W[b], W[:, b] = W[last], W[:, last].copy()
+            W[b, b] = 0.0
+            ids[b] = ids[last]
+            r[b] = r[last]
+        W = W[:last, :last]
+        ids = ids[:last]
+        r = r[:last]
+    return parent, blen, child_l, child_r, 2 * n - 2
+
+
 def leaves_under(child_l: np.ndarray, child_r: np.ndarray, node: int,
                  n_leaves: int) -> list:
     """Leaf set below a node via an explicit stack (no recursion)."""

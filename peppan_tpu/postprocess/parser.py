@@ -94,10 +94,21 @@ def genome_distances(pan: PanGenome) -> np.ndarray:
 
 
 def pan_tree(pan: PanGenome, path: str) -> str:
-    """NJ tree over genome presence/absence distances -> Newick file."""
+    """NJ tree over genome presence/absence distances -> Newick file.
+
+    Small pan-genomes ride the batched device NJ; past ~256 genomes the
+    problem is ONE huge matrix, where an n-step compiled scan is the
+    wrong tool (n=2000 never finished compiling+running on CPU) — the
+    vectorized host solver (nj.nj_host, the rapidnj role) runs it in
+    seconds.
+    """
     n = len(pan.genomes)
     if n < 2:
         nwk = f"({pan.genomes[0] if pan.genomes else ''});"
+    elif n > 256:
+        parent, blen, cl, cr, root = nj.nj_host(
+            genome_distances(pan).astype(np.float64))
+        nwk = nj.to_newick(parent, blen, cl, cr, root, pan.genomes)
     else:
         d = genome_distances(pan)
         res = nj.nj_batched(jnp.asarray(d[None]),

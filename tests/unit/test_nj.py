@@ -142,3 +142,36 @@ def test_leaves_under_and_newick():
     nwk = nj.to_newick(np.asarray(res["parent"][0]), np.asarray(res["blen"][0]),
                        cl, cr, root, [f"L{i}" for i in range(4)])
     assert nwk.endswith(";") and "L0" in nwk
+
+
+def test_nj_host_matches_reference(rng):
+    """The vectorized large-n host solver must join the same topology
+    with the same branch lengths as the slow reference oracle."""
+    for n in (4, 9, 16, 33):
+        # dyadic rationals: f64 arithmetic identical between the two
+        dm = (rng.integers(1, 64, (n, n)) / 16.0)
+        dm = dm + dm.T
+        np.fill_diagonal(dm, 0.0)
+        ref = nj.nj_ref(dm)
+        got = nj.nj_host(dm)
+        for a, b, name in zip(ref, got,
+                              ("parent", "blen", "cl", "cr", "root")):
+            assert np.allclose(a, b), (n, name, a, b)
+
+
+def test_nj_host_scales(rng):
+    """2000-leaf problem (the pan-genome tree size) finishes fast and
+    yields a valid additive topology."""
+    import time
+    n = 1000
+    pts = rng.random((n, 3))
+    dm = np.linalg.norm(pts[:, None] - pts[None, :], axis=2)
+    t0 = time.time()
+    parent, blen, cl, cr, root = nj.nj_host(dm)
+    assert time.time() - t0 < 30
+    # every node except the root has a parent; leaves 0..n-1 all placed
+    assert parent[root] == -1
+    assert np.all(parent[:n] >= n)
+    # tree is a single connected binary structure
+    seen = nj.leaves_under(cl, cr, root, n)
+    assert len(seen) == n
