@@ -12,7 +12,7 @@ TPU-native notes: the presence matrix and genome-pair distances are tiny
 (device optional); the pan tree reuses cluster.nj.nj_batched; the core
 alignment projects each genome's allele onto exemplar coordinates — a fast
 path handles indel-free alleles by direct comparison, the general path
-walks the host traceback (sw_oracle.sw_traceback) — the same phase-2
+walks the host traceback (assign.disrupt.region_traceback) — the same phase-2
 winners-only strategy as SURVEY.md §7.3.3.
 """
 
@@ -24,10 +24,10 @@ import re
 import numpy as np
 import jax.numpy as jnp
 
+from ..assign import disrupt
 from ..cluster import nj
 from ..io import alphabet
 from ..io.gff import read_gff
-from ..ops import sw_oracle
 
 _ATTR = re.compile(r"inference=ortholog_group:([^;]+)")
 _OLD = re.compile(r"old_locus_tag=([^;]+)")
@@ -135,8 +135,6 @@ def core_alignment(pan: PanGenome, gff_paths: list, out_fasta: str,
     Missing genomes get gap columns.  Returns (n_core_groups, n_snp_sites).
     """
     raws = {rg.name: rg for rg in (read_gff(p) for p in gff_paths)}
-    # region sequence fetch per record
-    submat = alphabet.dna_score_matrix()
     n_gen = len(pan.genomes)
     pres = pan.counts
     core = [g for g in range(len(pan.groups))
@@ -172,10 +170,13 @@ def core_alignment(pan: PanGenome, gff_paths: list, out_fasta: str,
             elif len(seq) == L:
                 rows[gi].append(seq)                      # fast path
             else:
-                hit, cigar = sw_oracle.sw_traceback(
-                    seq, ref, submat, gap_open, gap_extend)
+                # native C++ traceback (~100x the python oracle; the
+                # oracle fallback made 500-genome core alignments take
+                # hours at ~5 s per length-mismatched allele)
+                stats_tb, cigar = disrupt.region_traceback(
+                    seq, ref, gap_open=gap_open, gap_extend=gap_extend)
                 proj = np.full(L, 5, np.int8)
-                qi, ti = hit.qstart, hit.tstart
+                qi, ti = stats_tb["qstart"], stats_tb["tstart"]
                 for op, ln in cigar:
                     if op == "M":
                         proj[ti:ti + ln] = seq[qi:qi + ln]
