@@ -12,6 +12,13 @@ v1 docstring.
 Same band geometry / shift schedule / tie-breaks as ops.sw.sw_banded
 (see its module docstring); bit-equal scores by construction and by test
 (tests/unit/test_pallas_kernel.py drives both backends).
+
+Dead end, measured so it stays dead (2026-08-18): an int16-state variant
+(two DP cells per 32-bit lane slot; exact because score-mode H >= 0 bounds
+E/F below by -(open+ext)) does NOT lower on the current Mosaic toolchain —
+`arith.cmpi eq` and `arith.maxsi` on packed vector<8x128x2xi16> are both
+rejected by the Mosaic vector legalizer.  Revisit if Mosaic grows packed
+16-bit compare/max support; until then int32 state is the floor.
 """
 
 from __future__ import annotations
@@ -139,6 +146,7 @@ def sw_banded_scores_pallas_v2(q: jax.Array, t: jax.Array, *,
             transcendentals=0),
     )(qT, tT)
     return jnp.max(hmax_all, axis=0)
+
 
 @functools.partial(jax.jit, static_argnames=(
     "match", "mismatch", "gap_open", "gap_extend", "band", "c0", "block_p",

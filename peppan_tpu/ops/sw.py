@@ -93,6 +93,25 @@ def dna_scorer(match: int = 2, mismatch: int = -3) -> Callable:
     return scorer
 
 
+def _pallas_scores_enabled() -> bool:
+    """Whether equality-scored SCORE-ONLY launches dispatch to the
+    register-carry Pallas kernel (banded_sw_v2.sw_banded_scores_pallas_v2;
+    bit-equal by test).  Default ON for TPU backends — measured 145-155
+    Gcell/s vs ~80-90 for the XLA scan (v5e, cache-proof slope) — and OFF
+    elsewhere (Mosaic kernels don't lower on the CPU test backend).
+    PEPPAN_PALLAS_SCORES=0 forces the scan everywhere."""
+    import os
+
+    env = os.environ.get("PEPPAN_PALLAS_SCORES", "").lower()
+    if env in ("0", "off", "false"):
+        return False
+    if env in ("1", "on", "true"):
+        return True
+    import jax
+
+    return jax.default_backend() not in ("cpu",)
+
+
 def _pallas_stats_enabled() -> bool:
     """Whether equality-scored stats launches dispatch to the Pallas v2
     stats kernel (bit-equal; tests/unit/test_pallas_kernel.py and an
@@ -187,6 +206,12 @@ def sw_banded(q: jax.Array, t: jax.Array, *, scorer: Callable,
             q, t, match=eq[0], mismatch=eq[1], gap_open=gap_open,
             gap_extend=gap_extend, band=band, c0=c0)
         return {k: packed[i] for i, k in enumerate(STATS_KEYS)}
+    if (not with_stats and eq is not None and qpad == 5 and tpad == T_PAD
+            and P % 128 == 0 and P > 0 and _pallas_scores_enabled()):
+        from .kernels.banded_sw_v2 import sw_banded_scores_pallas_v2
+        return {"score": sw_banded_scores_pallas_v2(
+            q, t, match=eq[0], mismatch=eq[1], gap_open=gap_open,
+            gap_extend=gap_extend, band=band, c0=c0)}
 
     D = Mq + Mt - 1            # number of anti-diagonals
     K = (D + 1) // 2           # double-steps
