@@ -43,20 +43,31 @@ P, M, B = 4096, 1024, 128
 
 
 def _ladder_extras() -> dict:
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "benchmarks", "results.json")
-    try:
-        rows = json.load(open(path))
-    except Exception:
-        return {}
+    # gather rows from every results*.json (big rungs land in side files,
+    # e.g. results_L4.json) and keep the NEWEST row per config by date
+    import glob
+    bdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks")
+    best: dict = {}
+    for path in sorted(glob.glob(os.path.join(bdir, "results*.json"))):
+        try:
+            rows = json.load(open(path))
+        except Exception:
+            continue
+        for row in rows:
+            n = row.get("n_genomes")
+            if n is None:
+                continue
+            if n not in best or row.get("date", "") >= best[n].get("date", ""):
+                best[n] = row
     out = {}
-    for row in rows:
-        if row.get("n_genomes") == 100 and "wall_seconds" in row:
-            out["pan100_wall_s"] = row["wall_seconds"]
-            out["pan100_recorded_at"] = row.get("date", "")
-        if "pairs_per_second" in row:
-            # keep the largest config's figure (last wins on the ladder)
-            out["gene_pair_alignments_per_s"] = row["pairs_per_second"]
+    if 100 in best:
+        out["pan100_wall_s"] = best[100].get("wall_seconds")
+        out["pan100_recorded_at"] = best[100].get("date", "")
+    if best:
+        biggest = best[max(best)]
+        if "pairs_per_second" in biggest:
+            out["gene_pair_alignments_per_s"] = biggest["pairs_per_second"]
     return out
 
 

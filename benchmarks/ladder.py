@@ -93,6 +93,8 @@ def run_config(n_genomes: int, *, seed: int = 1000,
         "lane_cell_updates": int(cells),
         "gcups_effective": round(cells / max(sw_seconds, 1e-9) / 1e9, 2),
         "genes_per_second": round(res.gene_store.n_genes / wall, 1),
+        "counters": {k: (round(v, 2) if isinstance(v, float) else int(v))
+                     for k, v in sorted(counters.items())},
     }
 
 

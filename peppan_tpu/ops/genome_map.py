@@ -134,7 +134,11 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
     launch's unpacked stats so a backend stall mid-phase resumes at the
     failed launch instead of voiding the whole phase (SURVEY §5.4).
     """
+    import time as _time
+
     from . import pairs as prs
+
+    _t = _time.perf_counter()
 
     # --- seeds: batched sketch of all exemplars, vectorized hash join -----
     sub = genes.subset(np.asarray(exemplar_ids))
@@ -197,6 +201,8 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
         (int(exemplar_ids[c_ex[i]]), int(c_ct[i]),
          1 if c_fwd[i] else -1, int(a[i]), int(b[i]))
         for i in np.flatnonzero(keep)))
+    metrics.add("map_t_seed_chain", _time.perf_counter() - _t)
+    _t = _time.perf_counter()
     if not cand_rows:
         return MapHits.concat([])
 
@@ -257,6 +263,8 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
             metrics.add("sw_lane_cells", P * (qw_all + width - 1) * band)
             metrics.add("sw_launches", 1)
             i += batch
+    metrics.add("map_t_launch", _time.perf_counter() - _t)
+    _t = _time.perf_counter()
 
     for chunk_rows, handle, lname in launches:
         if isinstance(handle, dict):
@@ -287,6 +295,7 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
                             float(ident),
                             span / max(int(genes.length[ex]), 1)))
 
+    metrics.add("map_t_fetch", _time.perf_counter() - _t)
     if not results:
         return MapHits.concat([])
     res_arr = sorted(results)

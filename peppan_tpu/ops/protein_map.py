@@ -58,8 +58,11 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
     missing: {genome_index: [exemplar gene ids]}.  Returns MapHits in
     forward-strand nucleotide coordinates with nucl-equivalent scores.
     """
+    import time as _time
+
     if not missing:
         return MapHits.concat([])
+    _t = _time.perf_counter()
     all_ex = sorted({int(e) for exs in missing.values() for e in exs})
     aa_store = protein.translate_genes(genes, np.asarray(all_ex), gtable)
     ex_of_row = {i: e for i, e in enumerate(all_ex)}
@@ -122,6 +125,8 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
                     if len(buf_rows) == sketch_rows:
                         _flush()
     _flush()
+    metrics.add("pmap_t_sketch", _time.perf_counter() - _t)
+    _t = _time.perf_counter()
 
     rows_out = []
     cand_all = []   # (aa row, genome, contig, frame id, win start, win aa)
@@ -213,6 +218,8 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
         frame_cache.clear()
 
     # --- batched alignment over all collected candidates ------------------
+    metrics.add("pmap_t_join_window", _time.perf_counter() - _t)
+    _t = _time.perf_counter()
     from ..io.tokens import make_length_buckets
     if cand_all:
         scorer = sw.matrix_scorer(alphabet.blosum62_matrix())
@@ -252,6 +259,8 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
                 metrics.add("protein_map_windows", len(chunk_rows))
                 metrics.add("sw_lane_cells", Ppad * (qmaxb + W - 1) * band)
                 i2 += batch
+        metrics.add("pmap_t_launch", _time.perf_counter() - _t)
+        _t = _time.perf_counter()
 
         for chunk_rows, handle in launches:
             res = sw.unpack_stats(np.asarray(handle), len(chunk_rows))
@@ -285,6 +294,7 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
                     identity=float(ident),
                     qcov=span / max(Laa, 1), stitched=False))
 
+    metrics.add("pmap_t_fetch", _time.perf_counter() - _t)
     if not rows_out:
         return MapHits.concat([])
     rows_out.sort(key=lambda r: (r["genome"], r["contig"], r["start"],
