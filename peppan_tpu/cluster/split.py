@@ -134,19 +134,32 @@ def _cut_components(n: int, cl: np.ndarray, cr: np.ndarray, root: int,
     expectation allows (min is robust to substructure on either side; a
     mean would be inflated by distant sub-clades).  NJ's arbitrary root
     placement cannot affect bipartitions of the unrooted tree.
-    """
 
-    def edge_cut(A, Bv):
-        cross = dm[np.ix_(A, Bv)]
+    Leaf sets come from one bottom-up boolean-mask sweep (NJ emits
+    children before parents, so ascending slot order is topological);
+    the per-edge set/sort/leaves_under python walk this replaces was the
+    paralog_split phase's host hotspot at 100+ genomes.
+    """
+    M = 2 * n - 1
+    masks = np.zeros((M, n), dtype=bool)
+    masks[np.arange(n), np.arange(n)] = True
+    for x in range(n, M):
+        if cl[x] >= 0:
+            masks[x] = masks[int(cl[x])] | masks[int(cr[x])]
+    E = div.expect[np.ix_(genomes, genomes)]     # float32[n, n]
+
+    def edge_cut(amask):
+        bmask = ~amask
+        if not amask.any() or not bmask.any():
+            return False
+        cross = dm[np.ix_(amask, bmask)]
         if cross.size >= 25:
             stat = float(np.quantile(cross, 0.1))
         else:
             stat = float(cross.min())
-        exp = float(np.mean(div.expected(
-            genomes[A][:, None], genomes[Bv][None, :])))
+        exp = float(np.mean(E[np.ix_(amask, bmask)]))
         return stat > exp + allowed_sigma * div.sigma
 
-    all_leaves = list(range(n))
     uf_parent = list(range(2 * n - 1))
 
     def find(a):
@@ -161,17 +174,13 @@ def _cut_components(n: int, cl: np.ndarray, cr: np.ndarray, root: int,
             uf_parent[max(ra, rb)] = min(ra, rb)
 
     # the root's two child edges are one unrooted edge: test once
-    A = nj.leaves_under(cl, cr, int(cl[root]), n)
-    Bv = sorted(set(all_leaves) - set(A))
-    if not (A and Bv and edge_cut(A, Bv)):
+    if not edge_cut(masks[int(cl[root])]):
         union(int(cl[root]), root)
         union(int(cr[root]), root)
     for x in range(2 * n - 2):         # every non-root node's up-edge
         if parent_arr[x] < 0 or parent_arr[x] == root:
             continue
-        A = nj.leaves_under(cl, cr, x, n)
-        Bv = sorted(set(all_leaves) - set(A))
-        if not (A and Bv and edge_cut(A, Bv)):
+        if not edge_cut(masks[x]):
             union(x, int(parent_arr[x]))
     return np.array([find(lf) for lf in range(n)], np.int64)
 
@@ -207,14 +216,15 @@ def partition_sequences(seqs: list, genomes: np.ndarray,
     store = GeneStore.from_sequences([seqs[i] for i in sampled],
                                      genome=genomes[sampled])
     ns = len(sampled)
-    pair_arr = np.asarray([(i, j) for i in range(ns)
-                           for j in range(i + 1, ns)], np.int32)
+    iu, ju = np.triu_indices(ns, 1)
+    pair_arr = np.stack([iu, ju], axis=1).astype(np.int32)
     hits = prs.verify_pairs(store, pair_arr, band=band, batch=batch)
     dm = np.zeros((ns, ns), np.float32)
-    for k2 in range(len(pair_arr)):
-        a, b = pair_arr[k2]
-        d = 1.0 - float(hits.identity[k2]) if hits.aln_len[k2] > 0 else 1.0
-        dm[a, b] = dm[b, a] = d
+    dv = np.where(hits.aln_len > 0,
+                  np.float32(1.0) - hits.identity.astype(np.float32),
+                  np.float32(1.0)).astype(np.float32)
+    dm[iu, ju] = dv
+    dm[ju, iu] = dv
     # pad the NJ width to a power-of-two grid: n_max is a static jit arg
     # and shape churn = recompiles (CLAUDE.md backend note)
     n_pad = 4
@@ -314,28 +324,40 @@ def split_groups(store: GeneStore, group_of_gene: np.ndarray,
         for i in range(n):
             for j in range(i + 1, n):
                 pair_rows.append((mem[i], mem[j]))
+    import time as _time
+
+    from ..utils import metrics
+    _t = _time.perf_counter()
     pair_arr = np.asarray(pair_rows, np.int32)
     hits = prs.verify_pairs(store, pair_arr, band=band, batch=batch)
-    dist_of = {}
-    for k in range(len(pair_arr)):
-        a, b = pair_arr[k]
-        # unaligned pairs -> maximal distance
-        d = 1.0 - float(hits.identity[k]) if hits.aln_len[k] > 0 else 1.0
-        dist_of[(int(a), int(b))] = d
+    metrics.add("split_t_verify", _time.perf_counter() - _t)
+    _t = _time.perf_counter()
+    # unaligned pairs -> maximal distance (vectorized; pair_rows are
+    # group-major in upper-triangle order, so each group's slice maps
+    # straight onto triu_indices — the dict-keyed double loop this
+    # replaces was ~n_max^2 python iterations per flagged group)
+    dvals = np.where(hits.aln_len > 0,
+                     np.float32(1.0) - hits.identity.astype(np.float32),
+                     np.float32(1.0)).astype(np.float32)
 
     # batched NJ over flagged groups (single n_max bucket)
     n_max = max(len(mem) for _, mem, _uns in flagged)
     G = len(flagged)
     dms = np.zeros((G, n_max, n_max), np.float32)
     ns = np.zeros(G, np.int32)
+    ofs = 0
     for gi, (grp, mem, _uns) in enumerate(flagged):
         n = len(mem)
         ns[gi] = n
-        for i in range(n):
-            for j in range(i + 1, n):
-                key = (min(mem[i], mem[j]), max(mem[i], mem[j]))
-                dms[gi, i, j] = dms[gi, j, i] = dist_of[key]
-    trees = nj.nj_batched(jnp.asarray(dms), jnp.asarray(ns), n_max=n_max)
+        m = n * (n - 1) // 2
+        iu, ju = np.triu_indices(n, 1)
+        dms[gi, iu, ju] = dvals[ofs:ofs + m]
+        dms[gi, ju, iu] = dvals[ofs:ofs + m]
+        ofs += m
+    trees = {k: np.asarray(v) for k, v in nj.nj_batched(
+        jnp.asarray(dms), jnp.asarray(ns), n_max=n_max).items()}
+    metrics.add("split_t_nj", _time.perf_counter() - _t)
+    _t = _time.perf_counter()
 
     out = group_of_gene.copy()
     next_label = int(group_of_gene.max()) + 1
@@ -378,4 +400,5 @@ def split_groups(store: GeneStore, group_of_gene: np.ndarray,
             best = np.argmax(ident, axis=1)
             for ui, u in enumerate(unsampled):
                 out[u] = label_of_comp[rep_list[int(best[ui])][0]]
+    metrics.add("split_t_cut", _time.perf_counter() - _t)
     return out

@@ -56,6 +56,8 @@ def index_genomes(store: GenomeStore, *, k: int = 13, w: int = 8,
     round-trip latency dominates on the tunnelled backend, so one launch
     per contig (the obvious loop) is ~25 s for 100 genomes vs ~2 s batched.
     """
+    import time as _time
+    _t = _time.perf_counter()
     overlap = k + w          # so no window is lost at chunk boundaries
     row_meta = []            # (contig, chunk_start, is_first)
     for ci in range(store.n_contigs):
@@ -86,6 +88,7 @@ def index_genomes(store: GenomeStore, *, k: int = 13, w: int = 8,
     p = np.concatenate(ps) if ps else np.zeros(0, np.int64)
     s = np.concatenate(ss) if ss else np.zeros(0, bool)
     order = np.argsort(h, kind="stable")
+    metrics.add("map_t_index", _time.perf_counter() - _t)
     return GenomeIndex(h[order], c[order], p[order], s[order], k, w)
 
 
@@ -437,6 +440,8 @@ def dedup_and_stitch(hits: MapHits, genes: GeneStore,
     tandem paralog copies and must stay separate regions — merging them
     would destroy copy counting (HSP merging in uberBlast is colinear
     within one alignment, never copy concatenation)."""
+    import time as _time
+    _t = _time.perf_counter()
     TANDEM_QCOV = 0.8
     keep: list = []
     order = np.lexsort((-hits.score, hits.start, hits.strand.astype(int),
@@ -477,6 +482,7 @@ def dedup_and_stitch(hits: MapHits, genes: GeneStore,
                 identity=float(hits.identity[idx]),
                 qcov=float(hits.qcov[idx]), stitched=False))
             last[key] = len(rows) - 1
+    metrics.add("map_t_stitch", _time.perf_counter() - _t)
     if not rows:
         return MapHits.concat([])
     rows.sort(key=lambda r: (r["genome"], r["contig"], r["start"],

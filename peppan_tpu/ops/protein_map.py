@@ -69,6 +69,9 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
     aa_tbl = protein.build_aa_minimizer_table(aa_store, k=k, w=w,
                                               batch=batch)
 
+    metrics.add("pmap_t_qprep", _time.perf_counter() - _t)
+    _t = _time.perf_counter()
+
     # per-genome query minimizer subsets (skip genomes with no queries)
     queries = {}
     for gidx, ex_list in sorted(missing.items()):
@@ -100,13 +103,20 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
         rr, cc, hv = minimizers.aa_sketch_flagged(dense, k, w)
         valid = rr < len(buf_rows)
         rr, cc, hv = rr[valid], cc[valid], hv[valid]
+        # per-ROW metadata as columnar arrays once, then vectorized gather —
+        # a python list-comp per MINIMIZER here was ~10^6 interpreter ops
+        # per flush (measured hotspot at 100+ genomes)
+        meta_g = np.asarray([m[0] for m in buf_meta], np.int64)
+        meta_c = np.asarray([m[1] for m in buf_meta], np.int32)
+        meta_f = np.asarray([m[2] for m in buf_meta], np.int8)
+        meta_s = np.asarray([m[3] for m in buf_meta], np.int64)
         firsts = np.asarray([m[4] for m in buf_meta], bool)
         keep = firsts[rr] | (cc >= overlap)
         rr, cc, hv = rr[keep], cc[keep], hv[keep]
-        gx = np.asarray([buf_meta[r][0] for r in rr], np.int64)
-        ct = np.asarray([buf_meta[r][1] for r in rr], np.int32)
-        fd = np.asarray([buf_meta[r][2] for r in rr], np.int8)
-        ps = np.asarray([buf_meta[r][3] for r in rr], np.int64) + cc
+        gx = meta_g[rr]
+        ct = meta_c[rr]
+        fd = meta_f[rr]
+        ps = meta_s[rr] + cc
         for g in np.unique(gx):
             m = gx == g
             per_g[int(g)].append((hv[m], ct[m], fd[m], ps[m]))

@@ -279,8 +279,10 @@ def _run_inner(paths: list, cfg: PipelineConfig,
             # DIAMOND-vs-genome stage: protein-search each genome for the
             # groups that nucleotide mapping left missing there (divergent
             # or disrupted copies; SURVEY §2.2 / §3.2)
+            _tm = time.time()
             missing = _missing_combos(gene_store, clusters, group_of_gene,
                                       map_hits, genome_store.n_genomes)
+            metrics.add("map_t_missing", time.time() - _tm)
             if missing:
                 phits = protein_map.map_missing_protein(
                     gene_store, genome_store, clusters.exemplar_ids,
