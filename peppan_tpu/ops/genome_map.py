@@ -49,15 +49,30 @@ class GenomeIndex:
 
 
 def index_genomes(store: GenomeStore, *, k: int = 13, w: int = 8,
-                  chunk: int = 1 << 14, rows_per_launch: int = 512) -> GenomeIndex:
+                  chunk: int = 1 << 14, rows_per_launch: int = 512,
+                  query_hashes: np.ndarray | None = None,
+                  match_cap: int = 2048) -> GenomeIndex:
     """Minimizer index over all contigs (device sketch in fixed chunks).
 
     Chunks from ALL contigs batch into shared launches — per-launch
     round-trip latency dominates on the tunnelled backend, so one launch
     per contig (the obvious loop) is ~25 s for 100 genomes vs ~2 s batched.
+
+    query_hashes: optional sorted/unique hash set the index will be
+    equi-joined against (the exemplar minimizer table).  When given, the
+    device drops non-matching minimizers before the fetch (bloom
+    membership + top_k compaction — exact w.r.t. the join, see
+    ops.minimizers module comment) so each launch fetches ~cap*8 bytes
+    per row instead of the dense chunk*4 (the fetch was this phase's
+    measured bottleneck: ~16 MB/s through the tunnel).
     """
     import time as _time
     _t = _time.perf_counter()
+    bloom_dev = None
+    if query_hashes is not None:
+        import jax.numpy as _jnp
+        bloom_dev = _jnp.asarray(minimizers.make_hash_bloom(
+            query_hashes, minimizers.BLOOM_BITS_DNA))
     overlap = k + w          # so no window is lost at chunk boundaries
     row_meta = []            # (contig, chunk_start, is_first)
     for ci in range(store.n_contigs):
@@ -72,7 +87,11 @@ def index_genomes(store: GenomeStore, *, k: int = 13, w: int = 8,
         for ri, (ci, s, _f) in enumerate(metas):
             seg = store.contig_tokens(ci)[s:s + chunk]
             dense[ri, :len(seg)] = seg
-        rr, cc, hv, sv = minimizers.sketch_flagged(dense, k, w)
+        if bloom_dev is not None:
+            rr, cc, hv, sv = minimizers.sketch_flagged_matched(
+                dense, bloom_dev, k=k, w=w, cap=match_cap)
+        else:
+            rr, cc, hv, sv = minimizers.sketch_flagged(dense, k, w)
         first = np.asarray([m[2] for m in metas], bool)
         starts_arr = np.asarray([m[1] for m in metas], np.int64)
         contig_arr = np.asarray([m[0] for m in metas], np.int32)
@@ -130,12 +149,15 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
                   gap_open: int = 5, gap_extend: int = 2,
                   min_seeds: int = 2, stitch_gap: int = 300,
                   max_seed_occ: int | None = None,
-                  launch_cache=None) -> MapHits:
+                  launch_cache=None, table=None) -> MapHits:
     """Map every exemplar gene onto every genome.
 
     launch_cache: optional utils.manifest.LaunchCache — persists each
     launch's unpacked stats so a backend stall mid-phase resumes at the
     failed launch instead of voiding the whole phase (SURVEY §5.4).
+    table: optional prebuilt exemplar MinimizerTable (must come from
+    genes.subset(exemplar_ids) at the index's k/w — the pipeline builds
+    it once and shares it with index_genomes' membership prefilter).
     """
     import time as _time
 
@@ -145,7 +167,8 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
 
     # --- seeds: batched sketch of all exemplars, vectorized hash join -----
     sub = genes.subset(np.asarray(exemplar_ids))
-    tbl = prs.build_minimizer_table(sub, k=index.k, w=index.w, batch=batch)
+    tbl = (table if table is not None else
+           prs.build_minimizer_table(sub, k=index.k, w=index.w, batch=batch))
     lo = np.searchsorted(index.hash, tbl.hash, side="left")
     hi = np.searchsorted(index.hash, tbl.hash, side="right")
     cnt = hi - lo

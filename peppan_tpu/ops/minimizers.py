@@ -140,6 +140,111 @@ def sketch_flagged(tokens: np.ndarray, k: int = 15, w: int = 10) -> tuple:
     return rows, cols, v & np.uint32(0xFFFFFFFE), (v & 1).astype(bool)
 
 
+# --- membership-filtered compacted sketch ------------------------------------
+# The tunnelled backend fetches ~16 MB/s, so the dense uint32[P, L] sketch
+# result (1 s per 512x8192 launch) dominates the sketch phases.  When the
+# caller knows the QUERY hash set it will join against, the device can
+# drop non-matching minimizers (a bloom-bitmask membership test on the
+# hash's top bits — false positives only add rows the host join discards,
+# so join OUTPUT is bit-identical) and compact survivors to a fixed
+# per-row cap via top_k, fetching cap*(4+4) bytes/row instead of L*4.
+# Rows that overflow the cap are detected exactly (per-row counts come
+# back too) and the affected launch refetches through the dense path.
+
+BLOOM_BITS_DNA = 24     # 2 MB bitmask upload, ~4% fp at 750k query hashes
+BLOOM_BITS_AA = 22      # 512 KB, ~5% fp at 200k query hashes
+
+
+def make_hash_bloom(hashes: np.ndarray, bits: int) -> np.ndarray:
+    """uint32[2^bits/32] one-bit membership table over hash TOP bits.
+
+    Top bits are strand-insensitive for the DNA packing (strand lives in
+    bit 0) and uniform for murmur-mixed hashes."""
+    idx = (np.asarray(hashes, np.uint32).astype(np.uint64)
+           >> np.uint64(32 - bits)).astype(np.int64)
+    bm = np.zeros(1 << (bits - 5), np.uint32)
+    np.bitwise_or.at(bm, idx >> 5,
+                     (np.uint32(1) << (idx & 31).astype(np.uint32)))
+    return bm
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "w", "cap", "bits", "protein"))
+def _sketch_matched_dev(tokens: jax.Array, bloom: jax.Array, *, k: int,
+                        w: int, cap: int, bits: int,
+                        protein: bool) -> tuple:
+    if protein:
+        h = aa_kmer_hashes(tokens, k)
+        packed = h
+    else:
+        h, s = kmer_hashes(tokens, k)
+        packed = (h & np.uint32(0xFFFFFFFE)) | s.astype(jnp.uint32)
+    f = minimizer_flags(h, w)
+    idx = (h >> np.uint32(32 - bits)).astype(jnp.int32)
+    word = jnp.take(bloom, idx >> 5)
+    member = ((word >> (idx & 31).astype(jnp.uint32)) & 1) == 1
+    keep = f & member            # flagged positions always have valid h
+    P, L = h.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (P, L), 1)
+    key = jnp.where(keep, pos, L + 1)
+    negk, _ = jax.lax.top_k(-key, cap)
+    cols = -negk                 # ascending matched positions; L+1 = none
+    safe = jnp.clip(cols, 0, L - 1)
+    hsel = jnp.take_along_axis(packed, safe, axis=1)
+    hsel = jnp.where(cols <= L - 1, hsel, INVALID_HASH)
+    counts = keep.sum(axis=1).astype(jnp.int32)
+    return hsel, cols.astype(jnp.int32), counts
+
+
+def _sketch_matched(tokens: np.ndarray, bloom_dev, *, k: int, w: int,
+                    cap: int, bits: int, protein: bool) -> tuple | None:
+    """(rows, cols, hash[, strand]) like the dense fetchers, or None when
+    some row overflowed `cap` (caller falls back to the dense path)."""
+    from ..utils import metrics
+    from ..utils.fetch import fetch_np
+    hsel, cols, counts = _sketch_matched_dev(
+        jnp.asarray(tokens), bloom_dev, k=k, w=w, cap=cap, bits=bits,
+        protein=protein)
+    counts = np.asarray(counts)
+    if (counts > cap).any():
+        metrics.add("sketch_match_overflows", 1)
+        return None
+    hsel = fetch_np(hsel)
+    cols = fetch_np(cols)
+    valid = hsel != INVALID_HASH
+    rows, slot = np.nonzero(valid)
+    c = cols[rows, slot]
+    v = hsel[rows, slot]
+    metrics.add("sketch_match_rows", int(len(rows)))
+    if protein:
+        return rows, c, v
+    return rows, c, v & np.uint32(0xFFFFFFFE), (v & 1).astype(bool)
+
+
+def sketch_flagged_matched(tokens: np.ndarray, bloom_dev, *, k: int = 15,
+                           w: int = 10, cap: int = 2048,
+                           bits: int = BLOOM_BITS_DNA) -> tuple:
+    """DNA sketch restricted to minimizers whose hash top bits appear in
+    the query bloom; exact w.r.t. any downstream equi-join on the query
+    set (see module comment).  Falls back to sketch_flagged on overflow."""
+    out = _sketch_matched(tokens, bloom_dev, k=k, w=w, cap=cap, bits=bits,
+                          protein=False)
+    if out is None:
+        return sketch_flagged(tokens, k, w)
+    return out
+
+
+def aa_sketch_flagged_matched(tokens: np.ndarray, bloom_dev, *, k: int = 7,
+                              w: int = 6, cap: int = 1024,
+                              bits: int = BLOOM_BITS_AA) -> tuple:
+    """Protein counterpart of sketch_flagged_matched."""
+    out = _sketch_matched(tokens, bloom_dev, k=k, w=w, cap=cap, bits=bits,
+                          protein=True)
+    if out is None:
+        return aa_sketch_flagged(tokens, k, w)
+    return out
+
+
 # --- protein (reduced-alphabet) sketching ------------------------------------
 # Murphy-10 reduction of the 20-letter alphabet: groups statistically
 # exchangeable residues so seeds survive conservative substitutions — the

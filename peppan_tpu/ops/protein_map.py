@@ -94,13 +94,30 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
     buf_meta: list = []                      # (gidx, ci, fid, s, first)
     buf_rows: list = []
 
+    # union-of-queries bloom: the device drops frame minimizers that can't
+    # join any missing exemplar's hash before the fetch (the dense
+    # uint32[512, chunk] fetch at ~16 MB/s was this stage's bottleneck);
+    # exact w.r.t. the per-genome joins below (supersets only add rows the
+    # join discards — see ops.minimizers)
+    bloom_dev = None
+    if queries:
+        import jax.numpy as _jnp
+        qh_all = np.unique(np.concatenate(
+            [q[0] for q in queries.values()]))
+        bloom_dev = _jnp.asarray(minimizers.make_hash_bloom(
+            qh_all, minimizers.BLOOM_BITS_AA))
+
     def _flush():
         if not buf_rows:
             return
         dense = np.full((sketch_rows, chunk), alphabet.AA_PAD, np.int8)
         for i, r in enumerate(buf_rows):
             dense[i, :len(r)] = r
-        rr, cc, hv = minimizers.aa_sketch_flagged(dense, k, w)
+        if bloom_dev is not None:
+            rr, cc, hv = minimizers.aa_sketch_flagged_matched(
+                dense, bloom_dev, k=k, w=w)
+        else:
+            rr, cc, hv = minimizers.aa_sketch_flagged(dense, k, w)
         valid = rr < len(buf_rows)
         rr, cc, hv = rr[valid], cc[valid], hv[valid]
         # per-ROW metadata as columnar arrays once, then vectorized gather —

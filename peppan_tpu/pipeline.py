@@ -260,8 +260,16 @@ def _run_inner(paths: list, cfg: PipelineConfig,
         map_hits = genome_map.MapHits(
             *(ent[f.name] for f in dataclasses.fields(genome_map.MapHits)))
     else:
-        gindex = genome_map.index_genomes(genome_store, k=cfg.kmer,
-                                          w=cfg.window)
+        # exemplar minimizer table first: its hash set feeds the genome
+        # index's membership prefilter (device drops non-joining
+        # minimizers before the expensive fetch) and is reused for the
+        # mapping join itself
+        ex_table = prs.build_minimizer_table(
+            gene_store.subset(np.asarray(clusters.exemplar_ids)),
+            k=cfg.kmer, w=cfg.window, batch=cfg.sw_batch)
+        gindex = genome_map.index_genomes(
+            genome_store, k=cfg.kmer, w=cfg.window,
+            query_hashes=np.unique(ex_table.hash))
         # launch-granular resume inside the longest phase: a tunnel
         # stall/crash resumes at the failed launch, not the phase start
         launch_cache = manifest.LaunchCache(
@@ -270,6 +278,7 @@ def _run_inner(paths: list, cfg: PipelineConfig,
             enabled=cfg.continue_run)
         map_hits = genome_map.map_exemplars(
             gene_store, genome_store, clusters.exemplar_ids, gindex,
+            table=ex_table,
             min_identity=cfg.match_identity, min_frag_len=cfg.match_frag_len,
             min_frag_prop=cfg.match_frag_prop,
             band=cfg.band, batch=cfg.sw_batch, gap_open=cfg.gap_open,

@@ -136,3 +136,58 @@ def test_exact_duplicate_dedup_and_priority(rng):
     res2 = linclust.cluster_genes(
         store, genome_priority=np.array([2, 1, 0]))
     assert int(res2.exemplar[0]) == 2
+
+
+def test_matched_sketch_equals_dense_on_members(rng):
+    """The bloom-filtered compacted sketch must return EXACTLY the dense
+    sketch rows whose hash top-bits pass the membership test — which is a
+    superset of true query matches and a subset of all minimizers; any
+    downstream equi-join on the query set is therefore unchanged."""
+    import jax.numpy as jnp
+    import numpy as np
+    from peppan_tpu.ops import minimizers as mz
+
+    toks = rng.integers(0, 4, (8, 512)).astype(np.int8)
+    rr, cc, hv, sv = mz.sketch_flagged(toks, 13, 8)
+    # query set = every other distinct hash
+    qh = np.unique(hv)[::2]
+    bits = mz.BLOOM_BITS_DNA
+    bloom = mz.make_hash_bloom(qh, bits)
+    r2, c2, h2, s2 = mz.sketch_flagged_matched(
+        toks, jnp.asarray(bloom), k=13, w=8, cap=512, bits=bits)
+    # expected: dense rows whose top `bits` land on a set bloom bit
+    idx = (hv.astype(np.uint64) >> np.uint64(32 - bits)).astype(np.int64)
+    member = (bloom[idx >> 5] >> (idx & 31).astype(np.uint32)) & 1 == 1
+    assert np.array_equal(r2, rr[member])
+    assert np.array_equal(c2, cc[member])
+    assert np.array_equal(h2, hv[member])
+    assert np.array_equal(s2, sv[member])
+    # every query-matching minimizer survives (no false negatives)
+    in_q = np.isin(hv, qh)
+    assert np.isin(hv[in_q], h2).all()
+
+
+def test_matched_sketch_aa_and_overflow(rng):
+    """AA variant agrees with the dense path; a cap smaller than the
+    match count triggers the exact dense fallback."""
+    import jax.numpy as jnp
+    import numpy as np
+    from peppan_tpu.ops import minimizers as mz
+
+    toks = rng.integers(0, 20, (4, 512)).astype(np.int8)
+    rr, cc, hv = mz.aa_sketch_flagged(toks, 7, 6)
+    qh = np.unique(hv)          # everything matches
+    bloom = jnp.asarray(mz.make_hash_bloom(qh, mz.BLOOM_BITS_AA))
+    # generous cap: all minimizers come back (bloom passes everything)
+    r2, c2, h2 = mz.aa_sketch_flagged_matched(toks, bloom, k=7, w=6,
+                                              cap=512)
+    assert np.array_equal(r2, rr) and np.array_equal(c2, cc)
+    assert np.array_equal(h2, hv)
+    # overflowing cap: falls back to the dense fetch, still exact
+    from peppan_tpu.utils import metrics
+    before = metrics.snapshot().get("sketch_match_overflows", 0)
+    r3, c3, h3 = mz.aa_sketch_flagged_matched(toks, bloom, k=7, w=6,
+                                              cap=8)
+    assert metrics.snapshot().get("sketch_match_overflows", 0) == before + 1
+    assert np.array_equal(r3, rr) and np.array_equal(c3, cc)
+    assert np.array_equal(h3, hv)
