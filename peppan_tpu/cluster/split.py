@@ -361,6 +361,12 @@ def split_groups(store: GeneStore, group_of_gene: np.ndarray,
 
     out = group_of_gene.copy()
     next_label = int(group_of_gene.max()) + 1
+    # unsampled-member rep assignment batches across ALL splitting groups
+    # into one verify_pairs call (a per-group call paid a device launch
+    # round-trip per split); labels are assigned before verification so
+    # batching cannot change them
+    pending = []     # (unsampled, rep_list, label_of_comp)
+    pair2_rows = []
     for gi, (grp, mem, unsampled) in enumerate(flagged):
         n = int(ns[gi])
         comp = _cut_components(
@@ -393,12 +399,20 @@ def split_groups(store: GeneStore, group_of_gene: np.ndarray,
                 reps[int(c)] = max(cand, key=lambda m2: (
                     int(store.length[m2]), -m2))
             rep_list = sorted(reps.items())
-            pair2 = np.asarray([(u, rep) for u in unsampled
-                                for _c, rep in rep_list], np.int32)
-            h2 = prs.verify_pairs(store, pair2, band=band, batch=batch)
-            ident = h2.identity.reshape(len(unsampled), len(rep_list))
+            pending.append((unsampled, rep_list, label_of_comp))
+            pair2_rows.extend((u, rep) for u in unsampled
+                              for _c, rep in rep_list)
+    if pending:
+        h2 = prs.verify_pairs(store, np.asarray(pair2_rows, np.int32),
+                              band=band, batch=batch)
+        ofs2 = 0
+        for (unsampled, rep_list, label_of_comp) in pending:
+            m2 = len(unsampled) * len(rep_list)
+            ident = h2.identity[ofs2:ofs2 + m2].reshape(
+                len(unsampled), len(rep_list))
             best = np.argmax(ident, axis=1)
             for ui, u in enumerate(unsampled):
                 out[u] = label_of_comp[rep_list[int(best[ui])][0]]
+            ofs2 += m2
     metrics.add("split_t_cut", _time.perf_counter() - _t)
     return out

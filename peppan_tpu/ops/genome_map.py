@@ -51,7 +51,7 @@ class GenomeIndex:
 def index_genomes(store: GenomeStore, *, k: int = 13, w: int = 8,
                   chunk: int = 1 << 14, rows_per_launch: int = 512,
                   query_hashes: np.ndarray | None = None,
-                  match_cap: int = 2048) -> GenomeIndex:
+                  match_cap: int = 4096) -> GenomeIndex:
     """Minimizer index over all contigs (device sketch in fixed chunks).
 
     Chunks from ALL contigs batch into shared launches — per-launch

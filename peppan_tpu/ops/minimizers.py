@@ -222,7 +222,7 @@ def _sketch_matched(tokens: np.ndarray, bloom_dev, *, k: int, w: int,
 
 
 def sketch_flagged_matched(tokens: np.ndarray, bloom_dev, *, k: int = 15,
-                           w: int = 10, cap: int = 2048,
+                           w: int = 10, cap: int = 4096,
                            bits: int = BLOOM_BITS_DNA) -> tuple:
     """DNA sketch restricted to minimizers whose hash top bits appear in
     the query bloom; exact w.r.t. any downstream equi-join on the query

@@ -222,26 +222,38 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
                     genomes.contig_tokens(ctg), gtable)[fid][1]
             return frame_cache[key]
 
-        seen_windows: set = set()
-        for ci2 in range(len(c_ex)):
-            row = int(c_ex[ci2])
-            Laa = int(aa_store.length[row])
-            ctg = int(c_ct[ci2])
-            fid = int(c_f[ci2])
-            frame_aa = frame_of(ctg, fid)
-            a = max(0, int(c_g[ci2]) - int(c_q[ci2]) - slack)
-            b = min(len(frame_aa), a + Laa + 2 * slack)
-            if b - a < min_frag_aa:
-                continue
+        # vectorized window geometry + dedup FIRST, then materialize only
+        # surviving windows (the python per-chain loop with a set was the
+        # scale cost here; window slices are few after quantized dedup)
+        if len(c_ex):
+            Laa_k = aa_store.length[c_ex].astype(np.int64)
+            a_arr = np.maximum(0, c_g.astype(np.int64)
+                               - c_q.astype(np.int64) - slack)
+            # frame length without translating: (contig_len - f) // 3
+            clen = (np.asarray(genomes.contig_offset)[c_ct + 1]
+                    - np.asarray(genomes.contig_offset)[c_ct])
+            flen = (clen - (c_f % 3)) // 3
+            b_arr = np.minimum(flen, a_arr + Laa_k + 2 * slack)
+            ok = (b_arr - a_arr) >= min_frag_aa
             # nearby chains collapse to one window: quantizing the start
             # by `slack` dedups same-locus candidates (the window already
-            # carries +-slack around the chain anchor)
-            wkey = (row, ctg, fid, a // max(slack, 1))
-            if wkey in seen_windows:
-                continue
-            seen_windows.add(wkey)
-            cand_all.append((row, gidx, ctg, fid, a,
-                             np.ascontiguousarray(frame_aa[a:b])))
+            # carries +-slack around the chain anchor); too-short windows
+            # never claim a key (a later same-key chain may still win)
+            kept = np.flatnonzero(ok)
+            qkey = np.stack([c_ex[kept].astype(np.int64),
+                             c_ct[kept].astype(np.int64),
+                             c_f[kept].astype(np.int64),
+                             a_arr[kept] // max(slack, 1)], axis=1)
+            _, first_idx = np.unique(qkey, axis=0, return_index=True)
+            for ci2 in kept[np.sort(first_idx)]:
+                row = int(c_ex[ci2])
+                ctg = int(c_ct[ci2])
+                fid = int(c_f[ci2])
+                frame_aa = frame_of(ctg, fid)
+                a = int(a_arr[ci2])
+                b = int(b_arr[ci2])
+                cand_all.append((row, gidx, ctg, fid, a,
+                                 np.ascontiguousarray(frame_aa[a:b])))
         frame_cache.clear()
 
     # --- batched alignment over all collected candidates ------------------
