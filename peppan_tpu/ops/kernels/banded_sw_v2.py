@@ -167,14 +167,22 @@ def sw_banded_stats_pallas_v2(q: jax.Array, t: jax.Array, *,
     all 17 carried (band, block_p) tiles register/VMEM-resident per chunk
     instead of round-tripping scratch every half-step.
 
-    MEASURED (v5e, cache-proof slope, P=4096 M=1024 B=128): ~34-36
-    Gcell/s vs ~95 for the XLA scan in stats mode — 17 carries exceed
-    the register budget and spill per half-step (score mode's 5 carries
-    hit 145-155).  Kept as a verified alternate; production dispatch
-    stays off by default (ops.sw._pallas_stats_enabled).  Next levers:
-    drop the redundant bD carry (derivable from bIJ), int16 packing of
-    the H/E/F scores, or splitting the stats into a second pass over
-    per-chunk checkpointed wavefront state.
+    This revision carries 15 tiles (was 17): the best-score tracker
+    packs (score, anti-diagonal) into ONE int32 per lane-cell
+    (score<<16 | (65535-d); monotone-increasing d makes the packed max
+    reproduce the strict score-improvement rule AND the earliest-d
+    cross-lane tie-break), and the best end-coordinate tile is gone —
+    qend/tend are recomputed after the kernel from the winning
+    (d, lane), which determine the cell uniquely.  Requires
+    match * min(Mq, Mt) <= 32767 (score must fit 15 bits).
+
+    MEASURED (v5e, cache-proof slope, P=4096 M=1024 B=128): 17 carries
+    = 34-36 Gcell/s; this 15-carry version = ~37 (bit-equal on-chip) vs
+    ~84-98 for the XLA scan — the 12 stats-propagation tiles, not the
+    best trackers, set the register pressure, so carry trimming cannot
+    close the gap.  Kept as a verified alternate; production stats stay
+    on the scan (ops.sw._pallas_stats_enabled, default off).  Score
+    mode's 5 carries hit 145-183 and ARE production (PEPPAN_PALLAS_SCORES).
     """
     if c0 % 2 != 0:
         raise ValueError("c0 must be even")
@@ -188,9 +196,10 @@ def sw_banded_stats_pallas_v2(q: jax.Array, t: jax.Array, *,
     open_first = gap_open + gap_extend
     BIAS = B + abs(c0) + 2
     if (Mq + BIAS > 32767 or min(Mq, Mt) + 1 > 32767
-            or Mt + BIAS >= 65536 or Mq + Mt >= 65536):
+            or Mt + BIAS >= 65536 or Mq + Mt >= 65536
+            or match * min(Mq, Mt) > 32767):
         raise ValueError("stats packing: widths exceed the 16-bit halves "
-                         f"(Mq={Mq}, Mt={Mt}, BIAS={BIAS})")
+                         f"(Mq={Mq}, Mt={Mt}, BIAS={BIAS}, match={match})")
 
     D = Mq + Mt - 1
     K = (D + 1) // 2
@@ -218,14 +227,14 @@ def sw_banded_stats_pallas_v2(q: jax.Array, t: jax.Array, *,
     talign = tlow0 - rt
     del rt
 
-    def kernel(q_ref, t_ref, bs_ref, bd_ref, bij_ref, bsma_ref, bsqt_ref):
+    def kernel(q_ref, t_ref, bsd_ref, bsma_ref, bsqt_ref):
         zero = jnp.zeros((B, block_p), jnp.int32)
         lanevec = jax.lax.broadcasted_iota(jnp.int32, (B, block_p), 0)
 
         def half(d, i0r, qs, ts, parity, st):
             (H1, H2, E1, F1,
              SH1a, SH1b, SH2a, SH2b, SE1a, SE1b, SF1a, SF1b,
-             bS, bD, bIJ, bSMA, bSQT) = st
+             bSD, bSMA, bSQT) = st
             sv = jnp.where(qs == ts, match, mismatch)
             if parity == 0:
                 Hup, Fup = H1, F1
@@ -285,15 +294,18 @@ def sw_banded_stats_pallas_v2(q: jax.Array, t: jax.Array, *,
             SHna = pick(SMAdv, SEna, SFna)
             SHnb = pick(SQTdv, SEnb, SFnb)
 
-            upd = Hn > bS
-            bS = jnp.where(upd, Hn, bS)
-            bD = jnp.where(upd, d, bD)
-            bIJ = jnp.where(upd, cur_qt, bIJ)
+            # packed best tracker: score<<16 | (65535 - d).  d increases
+            # monotonically, so packed_new > bSD  <=>  Hn > best score
+            # (ties keep the earlier d), reproducing the scan's strict
+            # update rule with ONE carry instead of three
+            packed_new = Hn * 65536 + (65535 - d)
+            upd = packed_new > bSD
+            bSD = jnp.where(upd, packed_new, bSD)
             bSMA = jnp.where(upd, SHna, bSMA)
             bSQT = jnp.where(upd, SHnb, bSQT)
             return (Hn, H1, En, Fn,
                     SHna, SHnb, SH1a, SH1b, SEna, SEnb, SFna, SFnb,
-                    bS, bD, bIJ, bSMA, bSQT)
+                    bSD, bSMA, bSQT)
 
         def chunk_body(c, st):
             qbase = pl.multiple_of(qalign + c * chunk, chunk)
@@ -314,19 +326,17 @@ def sw_banded_stats_pallas_v2(q: jax.Array, t: jax.Array, *,
         zero = jnp.zeros((B, block_p), jnp.int32)
         init = (zero, zero, zero + NEG, zero + NEG,
                 zero, zero, zero, zero, zero, zero, zero, zero,
-                zero, zero, zero, zero, zero)
+                zero, zero, zero)
         st = jax.lax.fori_loop(0, Kpad // chunk, chunk_body, init)
-        bs_ref[:] = st[12]
-        bd_ref[:] = st[13]
-        bij_ref[:] = st[14]
-        bsma_ref[:] = st[15]
-        bsqt_ref[:] = st[16]
+        bsd_ref[:] = st[12]
+        bsma_ref[:] = st[13]
+        bsqt_ref[:] = st[14]
 
     grid = (P // block_p,)
     ospec = pl.BlockSpec((B, block_p), lambda i: (0, i),
                          memory_space=pltpu.VMEM)
     oshape = jax.ShapeDtypeStruct((B, P), jnp.int32)
-    bS, bD, bIJ, bSMA, bSQT = pl.pallas_call(
+    bSD, bSMA, bSQT = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -335,34 +345,36 @@ def sw_banded_stats_pallas_v2(q: jax.Array, t: jax.Array, *,
             pl.BlockSpec((Wt, block_p), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(ospec,) * 5,
-        out_shape=(oshape,) * 5,
+        out_specs=(ospec,) * 3,
+        out_shape=(oshape,) * 3,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=P * D * B * 24, bytes_accessed=P * (Wq + Wt) * 4,
             transcendentals=0),
     )(qT, tT)
 
-    # cross-lane pick (same order as ops.sw.sw_banded): earliest
-    # anti-diagonal, then smallest query row = smallest band index
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (B, P), 0)
-    s_star = jnp.max(bS, axis=0, keepdims=True)
-    key = bD * jnp.int32(B) + lanes
-    key = jnp.where(bS == s_star, key, jnp.int32(2 ** 31 - 1))
-    lane = jnp.argmin(key, axis=0)
+    # cross-lane pick: the packed max IS the scan's order (score desc,
+    # then earliest anti-diagonal via the inverted-d low half, then
+    # smallest band index via argmax's first-occurrence rule)
+    best = jnp.max(bSD, axis=0)
+    lane = jnp.argmax(bSD, axis=0).astype(jnp.int32)
 
     def at_lane(S):
         return jnp.take_along_axis(S, lane[None, :], axis=0)[0]
 
-    score = s_star[0]
+    score = best >> 16
+    d_star = 65535 - (best & 0xFFFF)
+    # the winning cell's coordinates follow from (d, lane):
+    # i = d//2 + i0p0 - PADL + lane,  j = d - i  (see half()'s ivec/jvec)
+    qend = d_star // 2 + (i0p0 - PADL) + lane
+    tend = d_star - qend
     empty = score <= 0
-    ij = at_lane(bIJ)
     sma = at_lane(bSMA)
     sqt = at_lane(bSQT)
     return jnp.stack([
         score,
-        jnp.where(empty, -1, (ij >> 16) - BIAS),              # qend
-        jnp.where(empty, -1, (ij & 0xFFFF) - BIAS),           # tend
+        jnp.where(empty, -1, qend),                           # qend
+        jnp.where(empty, -1, tend),                           # tend
         jnp.where(empty, 0, sma >> 16),                       # matches
         jnp.where(empty, 0, sma & 0xFFFF),                    # aln_len
         jnp.where(empty, 0, (sqt >> 16) - BIAS),              # qstart
