@@ -58,6 +58,10 @@ def _pan_parser(sub):
                         "or MXU k-mer-profile matmul tiles")
     p.add_argument("--nucl", action="store_true",
                    help="nucleotide-only mode (skip protein-level search)")
+    p.add_argument("--save_hits", action="store_true",
+                   help="also write <prefix>.map.tsv — the per-genome hit "
+                        "table (uberBlast .bsn analog) with bitscore and "
+                        "conservative e-value columns")
     p.add_argument("--allowed_sigma", type=float, default=3.0)
     p.add_argument("--noNeighborCheck", action="store_true")
     p.add_argument("--synteny_gap", type=int, default=300)
@@ -213,6 +217,7 @@ def main(argv=None) -> int:
             match_len=args.match_len,
             match_frag_len=args.match_frag_len,
             match_frag_prop=args.match_frag_prop, nucl_only=args.nucl,
+            save_hits=args.save_hits,
             exhaustive_fallback=args.exhaustive_fallback,
             candidate_source=args.candidate_source,
             allowed_sigma=args.allowed_sigma,

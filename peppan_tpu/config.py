@@ -51,6 +51,10 @@ class PipelineConfig:
     exhaustive_fallback: bool = False   # blastn-grade windowed sweep for
     #   (genome, group) combos that seeding left with zero candidates
     #   (parallel.seqtile); O(genome_len x gene_len) per combo, opt-in
+    save_hits: bool = False             # --save_hits : also write
+    #   <prefix>.map.tsv — the per-genome hit table (uberBlast .bsn
+    #   analog) with Karlin-Altschul bitscore + conservative e-value
+    #   columns (ops.hitstats)
     candidate_source: str = "minimizer"  # phase-4 candidate discovery:
     #   "minimizer" = hash-join on canonical minimizers (default);
     #   "profile" = MXU k-mer-profile matmul tiles (pod-scale alternative,

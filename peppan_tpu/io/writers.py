@@ -183,3 +183,39 @@ def write_gene_fasta(path: str, gene_store: GeneStore,
             fh.write(f">{gene_store.names[idx]}\n")
             for i in range(0, len(s), 80):
                 fh.write(s[i:i + 80] + "\n")
+
+
+def write_map_hits(path: str, hits, gene_store: GeneStore,
+                   genome_names: list, contig_names: list,
+                   search_space: float, *, match: int = 2,
+                   mismatch: int = -3) -> None:
+    """<prefix>.map.tsv — the uberBlast tabular-hit-table analog.
+
+    One row per genome-map hit with the BLAST-style presentation columns
+    (bitscore, conservative e-value; ops.hitstats) next to the engine's
+    exact raw score/identity/coverage.  Purely additive output: nothing
+    downstream consumes these statistics.
+    """
+    from ..ops import hitstats
+    lam = hitstats.dna_lambda(match, mismatch)
+    qlen = gene_store.length[np.asarray(hits.exemplar, np.int64)]
+    bits = hitstats.bit_scores(hits.score, lam)
+    ev = hitstats.evalues(hits.score, lam, qlen, search_space)
+    with open(path, "w") as fh:
+        fh.write("#exemplar\tgenome\tcontig\tstart\tend\tstrand\tscore\t"
+                 "identity\tqcov\tstitched\tbitscore\tevalue\n")
+        for i in range(len(hits)):
+            fh.write("\t".join([
+                gene_store.names[int(hits.exemplar[i])],
+                genome_names[int(hits.genome[i])],
+                contig_names[int(hits.contig[i])],
+                str(int(hits.start[i]) + 1),       # 1-based like GFF
+                str(int(hits.end[i]) + 1),
+                "+" if hits.strand[i] > 0 else "-",
+                str(int(hits.score[i])),
+                f"{float(hits.identity[i]):.4f}",
+                f"{float(hits.qcov[i]):.4f}",
+                "1" if hits.stitched[i] else "0",
+                f"{bits[i]:.1f}",
+                f"{ev[i]:.2e}",
+            ]) + "\n")

@@ -446,6 +446,12 @@ def _run_inner(paths: list, cfg: PipelineConfig,
                                          genome_store.n_genomes)
     writers.write_gene_content(outputs["rtab"], outputs["csv"], mat,
                                group_names, genome_store.genome_names)
+    if cfg.save_hits:
+        outputs["map"] = pre + ".map.tsv"
+        writers.write_map_hits(
+            outputs["map"], map_hits, gene_store,
+            genome_store.genome_names, genome_store.contig_names,
+            search_space=float(genome_store.contig_offset[-1]))
     tick("write_output", t0)
     return PipelineResult(genome_store, gene_store, clusters, group_of_gene,
                           group_names, outputs, phase_seconds,
