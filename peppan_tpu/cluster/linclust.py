@@ -70,12 +70,18 @@ def cluster_genes(store: GeneStore, *, identity: float = 0.9,
     PEPPAN's --priority); exemplars prefer trusted annotations, then
     length, then smallest index.
     """
+    import time as _time
+
+    from ..utils import metrics
+    _t = _time.perf_counter()
     n = store.n_genes
     # stage 0: collapse byte-identical sequences; only representatives go
     # through sketch + alignment, duplicates inherit their cluster
     dup_rep = exact_duplicate_groups(store)
     uniq_ids = np.flatnonzero(dup_rep == np.arange(n))
     sub = store.subset(uniq_ids)
+    metrics.add("clu_t_dedup", _time.perf_counter() - _t)
+    _t = _time.perf_counter()
 
     table = prs.build_minimizer_table(sub, k=k, w=w, batch=batch)
     # linclust-style reductions: (a) only the m lowest-hash minimizers per
@@ -92,8 +98,11 @@ def cluster_genes(store: GeneStore, *, identity: float = 0.9,
             table.hash[keep_idx], table.gene[keep_idx],
             table.pos[keep_idx], table.strand[keep_idx])
     cand = prs.candidate_center_pairs(table, sub.length)
+    metrics.add("clu_t_seed", _time.perf_counter() - _t)
+    _t = _time.perf_counter()
     hits = prs.verify_pairs(sub, cand, band=band, batch=batch, mesh=mesh,
                             shard_store=shard_store)
+    metrics.add("clu_t_verify", _time.perf_counter() - _t)
     keep = ((hits.identity >= identity) & (hits.qcov >= coverage)
             & (hits.tcov >= coverage))
     # lift subset edges back to global ids, plus duplicate edges
