@@ -73,7 +73,10 @@ def _pan_parser(sub):
     p.add_argument("--band", type=int, default=128)
     p.add_argument("--kmer", type=int, default=13)
     p.add_argument("--window", type=int, default=8)
-    p.add_argument("--sw_batch", type=int, default=512)
+    # default matches PipelineConfig.sw_batch: every test and ladder run
+    # uses 4096-row launches, and a smaller CLI default silently costs 8x
+    # more tunnel round-trips (round-2 review finding)
+    p.add_argument("--sw_batch", type=int, default=4096)
     p.add_argument("--mesh_data", type=int, default=1,
                    help="device mesh 'data' axis size (1 = single device)")
     p.add_argument("--mesh_db", type=int, default=1,

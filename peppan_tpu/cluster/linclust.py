@@ -58,7 +58,8 @@ def cluster_genes(store: GeneStore, *, identity: float = 0.9,
                   band: int = 128, max_group: int = 64,
                   batch: int = 4096, m_per_gene: int = 20,
                   genome_priority: np.ndarray | None = None,
-                  mesh=None, shard_store: bool = False) -> ClusterResult:
+                  mesh=None, shard_store: bool = False,
+                  launch_cache=None) -> ClusterResult:
     """Cluster pooled genes at high identity; choose exemplars.
 
     identity / coverage mirror PEPPAN's --clust_identity / --clust_match_prop
@@ -101,7 +102,8 @@ def cluster_genes(store: GeneStore, *, identity: float = 0.9,
     metrics.add("clu_t_seed", _time.perf_counter() - _t)
     _t = _time.perf_counter()
     hits = prs.verify_pairs(sub, cand, band=band, batch=batch, mesh=mesh,
-                            shard_store=shard_store)
+                            shard_store=shard_store,
+                            launch_cache=launch_cache, launch_tag="clu")
     metrics.add("clu_t_verify", _time.perf_counter() - _t)
     keep = ((hits.identity >= identity) & (hits.qcov >= coverage)
             & (hits.tcov >= coverage))

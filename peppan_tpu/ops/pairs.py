@@ -200,7 +200,8 @@ def _gather_align(tokens, qidx, tidx, *, scorer, gap_open, gap_extend,
 def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
                  gap_open: int = 5, gap_extend: int = 2, batch: int = 4096,
                  match: int = 2, mismatch: int = -3, mesh=None,
-                 shard_store: bool = False) -> PairHits:
+                 shard_store: bool = False, launch_cache=None,
+                 launch_tag: str = "vp") -> PairHits:
     """Align every candidate pair with banded SW (stats mode) on device.
 
     The padded token store is uploaded once; per batch only (P,) index
@@ -212,6 +213,14 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
     'db' axis instead of replicating (pod-memory mode — see
     parallel.allvsall.ShardedPairAligner); results are byte-identical to
     the replicated path.
+
+    ``launch_cache`` (utils.manifest.LaunchCache) gives the verification
+    sweep launch-granular resume under --continue — the SURVEY §5.4 tile
+    checkpointing for the cluster/similarity phases, same mechanism as
+    genome_map's.  Launches are deterministic given the pair list, so the
+    cache key is just (tag, batch offset); the owning phase's content hash
+    binds the directory.  Ignored on the sharded-store path (pod-memory
+    runs own their placement; a stale single-host layout must not leak).
     """
     m = len(pairs)
     out_score = np.zeros(m, np.int32)
@@ -272,6 +281,13 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
         while i < m:
             j = min(i + batch, m)
             sel = np.arange(i, j)
+            lname = f"{launch_tag}_{i}"
+            cached = (launch_cache.load(lname)
+                      if launch_cache is not None else None)
+            if cached is not None:
+                launches.append((sel, cached, None))
+                i = j
+                continue
             rows_padded = _pad_rows(len(sel), batch)
             qi = np.zeros(rows_padded, np.int32)
             ti = np.zeros(rows_padded, np.int32)
@@ -292,14 +308,19 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
             if rows_padded not in warmed:
                 jax.block_until_ready(handle)
                 warmed.add(rows_padded)
-            launches.append((sel, handle))
+            launches.append((sel, handle, lname))
             metrics.add("sw_pairs", len(sel))
             metrics.add("sw_lane_cells",
                         rows_padded * (2 * width - 1) * band)
             metrics.add("sw_launches", 1)
             i = j
-        for sel, handle in launches:
-            res = sw.unpack_stats(np.asarray(handle), len(sel))
+        for sel, handle, lname in launches:
+            if isinstance(handle, dict):
+                res = handle           # resumed from the launch cache
+            else:
+                res = sw.unpack_stats(np.asarray(handle), len(sel))
+                if launch_cache is not None:
+                    launch_cache.store(lname, res)
             out_score[sel] = res["score"]
             out_match[sel] = res["matches"]
             out_alen[sel] = res["aln_len"]

@@ -52,7 +52,8 @@ class PipelineResult:
 
 
 def _similarity_groups(store: GeneStore, clusters: linclust.ClusterResult,
-                       cfg: PipelineConfig, mesh=None) -> np.ndarray:
+                       cfg: PipelineConfig, mesh=None,
+                       launch_cache=None) -> np.ndarray:
     """Phase 4: connect exemplars whose alignment passes the match
     thresholds; returns component root per gene (via its exemplar)."""
     ex_ids = clusters.exemplar_ids
@@ -68,7 +69,8 @@ def _similarity_groups(store: GeneStore, clusters: linclust.ClusterResult,
                                          max_group=cfg.max_minimizer_group)
     hits = prs.verify_pairs(sub, cand, band=cfg.band, batch=cfg.sw_batch,
                             gap_open=cfg.gap_open, gap_extend=cfg.gap_extend,
-                            mesh=mesh, shard_store=cfg.shard_store)
+                            mesh=mesh, shard_store=cfg.shard_store,
+                            launch_cache=launch_cache, launch_tag="sim")
     # an edge passes on aligned PROPORTION, or (--match_len) on absolute
     # aligned length — the long-gene escape hatch (SURVEY §5.6)
     cov_ok = np.maximum(hits.qcov, hits.tcov) >= cfg.match_prop
@@ -228,13 +230,18 @@ def _run_inner(paths: list, cfg: PipelineConfig,
         for gi, gname in enumerate(genome_store.genome_names):
             if gname in unset and prio[gi] == len(cfg.priority):
                 prio[gi] = len(cfg.priority) + 1
+        clu_launch_cache = manifest.LaunchCache(
+            os.path.join(out_dir, cfg.prefix + ".launch_ckpt_cluster"),
+            key="cluster:" + cache.base_hash, enabled=cfg.continue_run)
         clusters = linclust.cluster_genes(
             gene_store, identity=cfg.clust_identity,
             coverage=cfg.clust_match_prop, k=cfg.kmer, w=cfg.window,
             band=cfg.band, max_group=cfg.max_minimizer_group,
             batch=cfg.sw_batch, mesh=mesh,
             genome_priority=prio if (len(cfg.priority) or len(cfg.genes)
-                                     or len(cfg.untrusted)) else None)
+                                     or len(cfg.untrusted)) else None,
+            launch_cache=clu_launch_cache if cfg.continue_run else None)
+        clu_launch_cache.clear()
         cache.store("cluster", {
             "root": clusters.root, "exemplar": clusters.exemplar,
             "exemplar_ids": clusters.exemplar_ids,
@@ -248,7 +255,13 @@ def _run_inner(paths: list, cfg: PipelineConfig,
     if ent is not None:
         group_root = ent["group_root"]
     else:
-        group_root = _similarity_groups(gene_store, clusters, cfg, mesh)
+        sim_launch_cache = manifest.LaunchCache(
+            os.path.join(out_dir, cfg.prefix + ".launch_ckpt_similar"),
+            key="similar:" + cache.base_hash, enabled=cfg.continue_run)
+        group_root = _similarity_groups(
+            gene_store, clusters, cfg, mesh,
+            launch_cache=sim_launch_cache if cfg.continue_run else None)
+        sim_launch_cache.clear()
         cache.store("similar_pairs", {"group_root": group_root})
     group_of_gene, group_names = _dense_groups(group_root, gene_store.names)
     tick("similar_pairs", t0)

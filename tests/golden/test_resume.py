@@ -97,3 +97,35 @@ def test_launch_cache_resume(tmp_path):
 
     manifest.LaunchCache(d, key="k2")            # key change: wiped
     assert not [f for f in os.listdir(d) if f.endswith(".npz")]
+
+
+def test_verify_pairs_launch_cache_resume(tmp_path):
+    """Launch-granular resume for the cluster/similarity verification
+    sweeps (the ex-TileRunner role): replayed runs do 0 device launches
+    and return byte-identical PairHits."""
+    import dataclasses
+
+    from peppan_tpu.io import gff
+    from peppan_tpu.ops import pairs as prs
+    from peppan_tpu.utils import manifest, metrics
+
+    sim = simulate.simulate(n_genomes=3, n_core=8, n_accessory=3, seed=45)
+    paths = simulate.write_gff(sim, str(tmp_path / "gff"))
+    _, genes = gff.load_genomes(paths)
+    table = prs.build_minimizer_table(genes)
+    cand, _, _ = prs.candidate_pairs(table)
+    assert len(cand) > 0
+
+    d = str(tmp_path / "lc")
+    lc = manifest.LaunchCache(d, key="vp1")
+    metrics.reset()
+    h1 = prs.verify_pairs(genes, cand, batch=256, launch_cache=lc)
+    assert metrics.snapshot().get("sw_launches", 0) > 0
+
+    lc2 = manifest.LaunchCache(d, key="vp1")
+    metrics.reset()
+    h2 = prs.verify_pairs(genes, cand, batch=256, launch_cache=lc2)
+    assert metrics.snapshot().get("sw_launches", 0) == 0
+    for f in dataclasses.fields(prs.PairHits):
+        assert np.array_equal(getattr(h1, f.name), getattr(h2, f.name)), \
+            f.name

@@ -1,10 +1,10 @@
-"""Sequence-tiling sweep + tile checkpoint runner tests (8-dev CPU mesh)."""
+"""Sequence-tiling sweep tests (8-dev CPU mesh)."""
 
 import numpy as np
 
 from peppan_tpu.io import alphabet as ab
 from peppan_tpu.ops import sw
-from peppan_tpu.parallel import dist, mesh as meshmod, seqtile
+from peppan_tpu.parallel import mesh as meshmod, seqtile
 
 
 def test_window_geometry(rng):
@@ -63,28 +63,3 @@ def test_best_windows_mesh_matches_single(rng):
         assert ws <= pos < ws + wins.shape[1]
 
 
-def test_tile_runner_resume(tmp_path):
-    calls = []
-
-    def compute(qlo, qhi, shard):
-        calls.append((qlo, shard))
-        n = qhi - qlo
-        rngl = np.random.default_rng(qlo * 10 + shard)
-        return {"score": rngl.integers(0, 100, n).astype(np.int32),
-                "idx": np.full(n, shard, np.int64)}
-
-    r1 = dist.TileRunner(str(tmp_path), n_queries=10, q_block=4, n_shards=3)
-    out1 = r1.run(compute)
-    n_calls_first = len(calls)
-    assert n_calls_first == 9  # 3 q-blocks x 3 shards
-
-    # resume: nothing recomputed, identical result
-    r2 = dist.TileRunner(str(tmp_path), n_queries=10, q_block=4, n_shards=3)
-    out2 = r2.run(compute)
-    assert len(calls) == n_calls_first
-    assert np.array_equal(out1["score"], out2["score"])
-    assert np.array_equal(out1["idx"], out2["idx"])
-
-
-def test_initialize_single_process_noop():
-    dist.initialize(num_processes=1)  # must not raise
