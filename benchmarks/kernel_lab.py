@@ -68,6 +68,22 @@ def main(variants) -> None:
             ch = int(variant[len("pallas_v2_c"):])
             return lambda qq, tt: sw_banded_scores_pallas_v2(
                 qq, tt, band=B, chunk=ch)
+        if variant.startswith("lab_"):
+            # lab_<state>_<token>[_defer][_bp<N>][_c<N>], e.g.
+            # lab_i16_i8, lab_i32_i8, lab_i16_i16_defer, lab_i16_i8_bp256
+            from peppan_tpu.ops.kernels.banded_sw_lab import (
+                sw_banded_scores_lab)
+            parts = variant.split("_")[1:]
+            dt = {"i32": "int32", "i16": "int16", "i8": "int8"}
+            kw = dict(state_dtype=dt[parts[0]], token_dtype=dt[parts[1]])
+            for p in parts[2:]:
+                if p == "defer":
+                    kw["defer_hmax"] = True
+                elif p.startswith("bp"):
+                    kw["block_p"] = int(p[2:])
+                elif p.startswith("c"):
+                    kw["chunk"] = int(p[1:])
+            return lambda qq, tt: sw_banded_scores_lab(qq, tt, band=B, **kw)
         raise SystemExit(f"unknown variant {variant}")
 
     def time_chain(body, k):

@@ -59,7 +59,8 @@ def cluster_genes(store: GeneStore, *, identity: float = 0.9,
                   batch: int = 4096, m_per_gene: int = 20,
                   genome_priority: np.ndarray | None = None,
                   mesh=None, shard_store: bool = False,
-                  launch_cache=None) -> ClusterResult:
+                  launch_cache=None,
+                  score_prefilter: bool = True) -> ClusterResult:
     """Cluster pooled genes at high identity; choose exemplars.
 
     identity / coverage mirror PEPPAN's --clust_identity / --clust_match_prop
@@ -101,9 +102,19 @@ def cluster_genes(store: GeneStore, *, identity: float = 0.9,
     cand = prs.candidate_center_pairs(table, sub.length)
     metrics.add("clu_t_seed", _time.perf_counter() - _t)
     _t = _time.perf_counter()
+    # two-pass verification (SURVEY §7.3.3 applied to pair verification):
+    # at clust_identity ~0.9 the score certificate is strong, so most
+    # spurious shared-minimizer candidates are decided FAIL by the fast
+    # score-only pass and never pay the stats DP.  Exactness-preserving:
+    # the cluster keep-filter below decides identically, and
+    # estimate_divergence re-verifies any sentinel rows it consumes.
+    pf = (prs.Prefilter(min_identity=identity, min_qcov=coverage,
+                        min_tcov=coverage)
+          if score_prefilter and not shard_store else None)
     hits = prs.verify_pairs(sub, cand, band=band, batch=batch, mesh=mesh,
                             shard_store=shard_store,
-                            launch_cache=launch_cache, launch_tag="clu")
+                            launch_cache=launch_cache, launch_tag="clu",
+                            prefilter=pf)
     metrics.add("clu_t_verify", _time.perf_counter() - _t)
     keep = ((hits.identity >= identity) & (hits.qcov >= coverage)
             & (hits.tcov >= coverage))

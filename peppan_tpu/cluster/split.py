@@ -51,12 +51,23 @@ def _group_members(group_of_gene: np.ndarray) -> dict:
 
 
 def estimate_divergence(store: GeneStore, group_of_gene: np.ndarray,
-                        hits: prs.PairHits, n_genomes: int) -> DivergenceModel:
+                        hits: prs.PairHits, n_genomes: int, *,
+                        band: int = 128,
+                        batch: int = 4096) -> DivergenceModel:
     """Expected inter-genome gene distance from single-copy groups.
 
     Uses already-verified pair hits (phase 4 edges): for every hit whose two
     genes are in the same single-copy group and different genomes, record
     1 - identity for that genome pair; expectation = per-pair median.
+
+    Two-pass interplay: cluster-phase hits may carry prefilter SENTINEL
+    stats (ops.pairs.prefiltered_rows) for pairs the score certificate
+    decided below the cluster threshold.  This model consumes identity
+    VALUES of sub-threshold pairs, so any sentinel row this function
+    would use is re-verified exactly here first — the model is
+    bit-identical to the one computed from a single-pass run (the
+    re-verification uses the same band/width-bucket geometry; the few
+    same-group sentinel rows are a tiny alignment batch).
     """
     # fully vectorized: at 500 genomes the cluster-hit table has ~1M rows
     labels = np.asarray(group_of_gene)
@@ -71,10 +82,20 @@ def estimate_divergence(store: GeneStore, group_of_gene: np.ndarray,
     a = hits.pairs[:, 0].astype(np.int64)
     b = hits.pairs[:, 1].astype(np.int64)
     ga, gb = store.genome[a], store.genome[b]
-    mask = ((labels[a] == labels[b]) & (labels[a] >= 0)
+    base = ((labels[a] == labels[b]) & (labels[a] >= 0)
             & ~dup_groups[np.clip(labels[a], 0, n_groups)]
-            & (ga != gb) & (hits.aln_len > 0))
-    d = (1.0 - hits.identity[mask]).astype(np.float64)
+            & (ga != gb))
+    identity, aln_len = hits.identity, hits.aln_len
+    pre = base & prs.prefiltered_rows(hits)
+    if pre.any():
+        h2 = prs.verify_pairs(store, hits.pairs[pre], band=band,
+                              batch=batch)
+        identity = identity.copy()
+        aln_len = aln_len.copy()
+        identity[pre] = h2.identity
+        aln_len[pre] = h2.aln_len
+    mask = base & (aln_len > 0)
+    d = (1.0 - identity[mask]).astype(np.float64)
     pk = (np.minimum(ga, gb)[mask] * np.int64(n_genomes)
           + np.maximum(ga, gb)[mask])
     expect = np.zeros((n_genomes, n_genomes), np.float32)

@@ -78,6 +78,10 @@ class PipelineConfig:
     gap_extend: int = 2
     max_minimizer_group: int = 64
     sw_batch: int = 4096
+    score_prefilter: bool = True        # two-pass cluster verification:
+    #   Pallas score-only pass over all candidates, stats pass only for
+    #   pairs above the exact score certificate (ops.pairs.Prefilter);
+    #   decisions and outputs are bit-identical to single-pass
 
     # --- execution ---
     continue_run: bool = False          # --continue : reuse phase outputs

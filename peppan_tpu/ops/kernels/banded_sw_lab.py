@@ -1,0 +1,168 @@
+"""Kernel lab: parameterized variants of the v2 score kernel.
+
+Experiments toward the derived ~460 Gcell/s score-mode SOL
+(BASELINE.md "DP kernel roofline"); each knob is measured by
+benchmarks/kernel_lab.py on the real chip and the results recorded in
+BASELINE.md win or lose.  Winners get promoted into banded_sw_v2.
+
+Knobs:
+  state_dtype  'int32' (v2 baseline) or 'int16'.  int16 halves the
+      VMEM bytes per carried tile and doubles the VPU's elementwise
+      int16 throughput where Mosaic supports it.  Exactness: H >= 0
+      always (local alignment), so E = max(H_left - open, E_left - ext)
+      >= -open after the first step at every cell — the "no gap yet"
+      sentinel never decays below NEG16 - ext transiently, and stored
+      state stays in [-open, match*min(Mq,Mt)].  Guarded by
+      match * min(Mq, Mt) + match <= 32767.  NOTE this differs from the
+      2026-08-18 dead end (banded_sw_v2.py docstring): that attempt
+      BITCAST-packed two int16 cells into one int32 lane slot, producing
+      vector<8x128x2xi16> ops the Mosaic legalizer rejects; here the
+      tiles are plain (band, block_p) int16 arrays on the native
+      (16, 128) tiling.
+  token_dtype  'int32' (v2 baseline), 'int16' or 'int8' — dtype of the
+      resident q/t slices (the two sequence reads per half-step are the
+      only memory traffic in the inner loop).
+  defer_hmax   update the running best once per double-step
+      (max(H_even, H_odd)) instead of per half-step: one fewer VPU op
+      per two half-steps, exact because the running max is associative.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -(10 ** 6)
+NEG16 = -30000
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "match", "mismatch", "gap_open", "gap_extend", "band", "c0", "block_p",
+    "chunk", "state_dtype", "token_dtype", "defer_hmax", "interpret"))
+def sw_banded_scores_lab(q: jax.Array, t: jax.Array, *,
+                         match: int = 2, mismatch: int = -3,
+                         gap_open: int = 5, gap_extend: int = 2,
+                         band: int = 128, c0: int = 0,
+                         block_p: int = 128, chunk: int = 8,
+                         state_dtype: str = "int32",
+                         token_dtype: str = "int32",
+                         defer_hmax: bool = False,
+                         interpret: bool = False) -> jax.Array:
+    """Score-only banded SW, variant-parameterized; bit-equal to
+    ops.sw.sw_banded(score mode) for every knob combination (the int16
+    guard raises rather than risk overflow)."""
+    if c0 % 2 != 0:
+        raise ValueError("c0 must be even")
+    if chunk % 8 != 0:
+        raise ValueError("chunk must be a multiple of 8")
+    P, Mq = q.shape
+    _, Mt = t.shape
+    B = band
+    if P % block_p:
+        raise ValueError(f"P={P} not a multiple of block_p={block_p}")
+    sdt = jnp.dtype(state_dtype)
+    tdt = jnp.dtype(token_dtype)
+    if sdt == jnp.int16 and match * min(Mq, Mt) + match > 32767:
+        raise ValueError("int16 state: score range exceeds 15 bits "
+                         f"(match={match}, min(Mq,Mt)={min(Mq, Mt)})")
+    neg = NEG16 if sdt == jnp.int16 else NEG
+    open_first = gap_open + gap_extend
+
+    D = Mq + Mt - 1
+    K = (D + 1) // 2
+    Kpad = ((K + chunk - 1) // chunk) * chunk
+
+    PADL = B // 2 + abs(c0) // 2 + 2
+    i0p0 = (-c0) // 2 - B // 2 + PADL
+    wq_need = (2 * (Kpad - 1) - c0) // 2 - B // 2 + PADL + B + 2 * chunk
+    qT = jnp.pad(q.astype(tdt),
+                 ((0, 0), (PADL, max(0, wq_need - Mq - PADL))),
+                 constant_values=5).T          # (Wq, P)
+    trev = jnp.flip(t.astype(tdt), axis=1)
+    x0_of = lambda d: Mt - 1 - d + ((d - c0) // 2 - B // 2)  # noqa: E731
+    PADT = max(0, -x0_of(2 * Kpad - 1)) + 2 * chunk
+    wt_need = x0_of(0) + PADT + B + 2 + 2 * chunk
+    tT = jnp.pad(trev, ((0, 0), (PADT, max(0, wt_need - Mt - PADT))),
+                 constant_values=6).T          # (Wt, P)
+    Wq = qT.shape[0]
+    Wt = tT.shape[0]
+    x0base = Mt - 2 + PADT - c0 // 2 - B // 2
+    rq = i0p0 % chunk
+    qalign = i0p0 - rq
+    tlow0 = x0base - (chunk - 1)
+    talign = tlow0 - (tlow0 % chunk)
+
+    import numpy as np
+    mvec = sdt.type(match)       # numpy scalars: become kernel immediates,
+    xvec = sdt.type(mismatch)    # not captured device constants
+    del np
+
+    def kernel(q_ref, t_ref, out_ref):
+        zero = jnp.zeros((B, block_p), sdt)
+
+        def half(qs, ts, parity, H1, H2, E1, F1):
+            sv = jnp.where(qs == ts, mvec, xvec)
+            if parity == 0:
+                Hup, Fup = H1, F1
+                Hleft = jnp.concatenate([H1[1:], zero[:1]], axis=0)
+                Eleft = jnp.concatenate([E1[1:], zero[:1] + neg], axis=0)
+            else:
+                Hup = jnp.concatenate([zero[:1], H1[:-1]], axis=0)
+                Fup = jnp.concatenate([zero[:1] + neg, F1[:-1]], axis=0)
+                Hleft, Eleft = H1, E1
+            En = jnp.maximum(Hleft - open_first, Eleft - gap_extend)
+            Fn = jnp.maximum(Hup - open_first, Fup - gap_extend)
+            dv = H2 + sv
+            Hn = jnp.maximum(jnp.maximum(dv, 0), jnp.maximum(En, Fn))
+            return Hn, H1, En, Fn
+
+        def chunk_body(c, carry):
+            H1, H2, E1, F1, Hmax = carry
+            qbase = pl.multiple_of(qalign + c * chunk, chunk)
+            tbase = pl.multiple_of(talign - c * chunk, chunk)
+            qblk = q_ref[pl.ds(qbase, B + 2 * chunk), :]
+            tblk = t_ref[pl.ds(tbase, B + 2 * chunk + 1), :]
+            for u in range(chunk):
+                qs = qblk[rq + u:rq + u + B, :]
+                toff = (x0base - talign) - u
+                ts_odd = tblk[toff:toff + B, :]
+                ts_even = tblk[toff + 1:toff + 1 + B, :]
+                He, H1, E1, F1 = half(qs, ts_even, 0, H1, H2, E1, F1)
+                H2 = H1
+                H1 = He
+                Ho, H1, E1, F1 = half(qs, ts_odd, 1, H1, H2, E1, F1)
+                H2 = H1
+                H1 = Ho
+                if defer_hmax:
+                    Hmax = jnp.maximum(Hmax, jnp.maximum(He, Ho))
+                else:
+                    Hmax = jnp.maximum(jnp.maximum(Hmax, He), Ho)
+            return (H1, H2, E1, F1, Hmax)
+
+        init = (zero, zero, zero + neg, zero + neg, zero)
+        carry = jax.lax.fori_loop(0, Kpad // chunk, chunk_body, init)
+        out_ref[:] = carry[4].astype(jnp.int32)
+
+    grid = (P // block_p,)
+    hmax_all = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Wq, block_p), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wt, block_p), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, block_p), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, P), jnp.int32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=P * D * B * 10, bytes_accessed=P * (Wq + Wt) * 4,
+            transcendentals=0),
+    )(qT, tT)
+    return jnp.max(hmax_all, axis=0)

@@ -240,7 +240,8 @@ def _run_inner(paths: list, cfg: PipelineConfig,
             batch=cfg.sw_batch, mesh=mesh,
             genome_priority=prio if (len(cfg.priority) or len(cfg.genes)
                                      or len(cfg.untrusted)) else None,
-            launch_cache=clu_launch_cache if cfg.continue_run else None)
+            launch_cache=clu_launch_cache if cfg.continue_run else None,
+            score_prefilter=cfg.score_prefilter)
         clu_launch_cache.clear()
         cache.store("cluster", {
             "root": clusters.root, "exemplar": clusters.exemplar,
@@ -353,8 +354,9 @@ def _run_inner(paths: list, cfg: PipelineConfig,
             new_groups = ent["labels"]
         else:
             div = split.estimate_divergence(gene_store, group_of_gene,
-                                            clusters.hits,
-                                            n_total_genomes)
+                                            clusters.hits, n_total_genomes,
+                                            band=cfg.band,
+                                            batch=cfg.sw_batch)
             new_groups = split.split_groups(
                 gene_store, group_of_gene, div,
                 allowed_sigma=cfg.allowed_sigma, band=cfg.band,
@@ -385,7 +387,8 @@ def _run_inner(paths: list, cfg: PipelineConfig,
     resplit_fn = None
     if cfg.paralog_split:
         div_model = split.estimate_divergence(
-            gene_store, group_of_gene, clusters.hits, n_total_genomes)
+            gene_store, group_of_gene, clusters.hits, n_total_genomes,
+            band=cfg.band, batch=cfg.sw_batch)
 
         def resplit_fn(_gid, hit_idx, _mh=map_hits):
             seqs = []

@@ -103,3 +103,42 @@ def test_pallas_v2_stats_empty_alignment(rng):
     got = np.asarray(pk2.sw_banded_stats_pallas_v2(
         q, tp, band=32, block_p=8, interpret=True))
     assert np.array_equal(ref, got)
+
+
+@pytest.mark.parametrize("state,token", [("int16", "int32"),
+                                         ("int32", "int8"),
+                                         ("int16", "int8"),
+                                         ("int16", "int16")])
+def test_pallas_lab_matches_scan(rng, state, token):
+    """Kernel-lab variants (int16 state / int8 tokens / deferred Hmax)
+    must stay bit-equal to the scan for every knob combination."""
+    from peppan_tpu.ops.kernels import banded_sw_lab as lab
+
+    P, Mq, Mt, B = 8, 200, 320, 32
+    q = rng.integers(0, 4, (P, Mq)).astype(np.int8)
+    t = rng.integers(0, 4, (P, Mt)).astype(np.int8)
+    for i in range(0, P, 2):
+        L = min(Mq, Mt)
+        t[i, :L] = q[i, :L]
+        m = rng.random(L) < 0.1
+        t[i, :L][m] = (t[i, :L][m] + 1) % 4
+    tp = sw.prep_target_tokens(t)
+    ref = np.asarray(sw.sw_banded(q, tp, scorer=sw.dna_scorer(), band=B,
+                                  with_stats=False)["score"])
+    got = np.asarray(lab.sw_banded_scores_lab(
+        q, tp, band=B, block_p=8, state_dtype=state, token_dtype=token,
+        defer_hmax=True, interpret=True))
+    assert np.array_equal(ref, got)
+    got2 = np.asarray(lab.sw_banded_scores_lab(
+        q, tp, band=B, block_p=8, state_dtype=state, token_dtype=token,
+        interpret=True))
+    assert np.array_equal(ref, got2)
+
+
+def test_pallas_lab_int16_guard(rng):
+    from peppan_tpu.ops.kernels import banded_sw_lab as lab
+
+    q = rng.integers(0, 4, (8, 17000)).astype(np.int8)
+    with pytest.raises(ValueError):
+        lab.sw_banded_scores_lab(q, q, state_dtype="int16", block_p=8,
+                                 interpret=True)
