@@ -49,6 +49,9 @@ def _pan_parser(sub):
     p.add_argument("--match_frag_len", type=int, default=50)
     p.add_argument("--match_frag_prop", type=float, default=0.0,
                    help="min fragment span as a fraction of the exemplar")
+    p.add_argument("--xdrop_floor", type=int, default=34,
+                   help="ungapped pre-extension floor before banded DP "
+                        "(blastn analog; 0 disables)")
     p.add_argument("--exhaustive_fallback", action="store_true",
                    help="blastn-grade windowed sweep for (genome, group) "
                         "combos with zero seeded candidates (slow, exact)")
@@ -219,7 +222,8 @@ def main(argv=None) -> int:
             match_identity=args.match_identity, match_prop=args.match_prop,
             match_len=args.match_len,
             match_frag_len=args.match_frag_len,
-            match_frag_prop=args.match_frag_prop, nucl_only=args.nucl,
+            match_frag_prop=args.match_frag_prop,
+            xdrop_floor=args.xdrop_floor, nucl_only=args.nucl,
             save_hits=args.save_hits,
             exhaustive_fallback=args.exhaustive_fallback,
             candidate_source=args.candidate_source,

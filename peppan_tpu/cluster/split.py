@@ -153,8 +153,13 @@ def _cut_components(n: int, cl: np.ndarray, cr: np.ndarray, root: int,
     (A = clade below, B = rest).  The edge is a duplication boundary iff
     even the CLOSEST cross pair is more diverged than the genome
     expectation allows (min is robust to substructure on either side; a
-    mean would be inflated by distant sub-clades).  NJ's arbitrary root
-    placement cannot affect bipartitions of the unrooted tree.
+    mean would be inflated by distant sub-clades, and a low quantile of
+    all cross cells over-cuts: for the edge just inside clade B of an
+    already-true A|B duplication, the bipartition {A + few of B} vs
+    {rest of B} holds mostly far A-B cells, so a 10% quantile lands on
+    the far side and severs a non-duplication edge — measured on the
+    20-genome golden fixture as 8 spurious subgroups).  NJ's arbitrary
+    root placement cannot affect bipartitions of the unrooted tree.
 
     Leaf sets come from one bottom-up boolean-mask sweep (NJ emits
     children before parents, so ascending slot order is topological);
@@ -174,10 +179,7 @@ def _cut_components(n: int, cl: np.ndarray, cr: np.ndarray, root: int,
         if not amask.any() or not bmask.any():
             return False
         cross = dm[np.ix_(amask, bmask)]
-        if cross.size >= 25:
-            stat = float(np.quantile(cross, 0.1))
-        else:
-            stat = float(cross.min())
+        stat = float(cross.min())
         exp = float(np.mean(E[np.ix_(amask, bmask)]))
         return stat > exp + allowed_sigma * div.sigma
 

@@ -46,6 +46,10 @@ class PipelineConfig:
     match_frag_len: int = 50            # --match_frag_len : min fragment bp
     match_frag_prop: float = 0.0        # --match_frag_prop : min fragment
     #   span as a fraction of the exemplar (both fragment minima apply)
+    xdrop_floor: int = 34               # --xdrop_floor : blastn-style
+    #   ungapped pre-extension floor between seed chaining and banded DP
+    #   (ops.genome_map.map_exemplars docstring); <= 26 (a bare 13-mer
+    #   seed) drops nothing, 0 disables the stage entirely
     nucl_only: bool = False             # --nucl : skip protein-level search
     protein_identity: float = 0.35      # AA identity floor (diamond stage)
     exhaustive_fallback: bool = False   # blastn-grade windowed sweep for

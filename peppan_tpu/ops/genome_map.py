@@ -141,6 +141,31 @@ class MapHits:
                          for f in dataclasses.fields(MapHits)))
 
 
+def _ungapped_best(score_rows: list) -> np.ndarray:
+    """Best ungapped segment score per row (vectorized Kadane).
+
+    score_rows: list of 1-D int arrays of per-position substitution
+    scores along a seed diagonal.  max-subarray = max over j of
+    cumsum[j] - min prefix before j — two cumulative passes, no loop.
+    """
+    if not score_rows:
+        return np.zeros(0, np.int32)
+    out = np.empty(len(score_rows), np.int32)
+    CH = 4096
+    for i0 in range(0, len(score_rows), CH):
+        chunk = score_rows[i0:i0 + CH]
+        Lp = max(len(r) for r in chunk)
+        s = np.full((len(chunk), Lp), -100, np.int32)
+        for ri, r in enumerate(chunk):
+            s[ri, :len(r)] = r
+        c = np.cumsum(s, axis=1)
+        prefix_min = np.minimum.accumulate(
+            np.concatenate([np.zeros((len(chunk), 1), np.int64), c[:, :-1]],
+                           axis=1), axis=1)
+        out[i0:i0 + CH] = (c - prefix_min).max(axis=1).astype(np.int32)
+    return out
+
+
 def map_exemplars(genes: GeneStore, genomes: GenomeStore,
                   exemplar_ids: np.ndarray, index: GenomeIndex, *,
                   min_identity: float = 0.65, min_frag_len: int = 50,
@@ -149,6 +174,7 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
                   gap_open: int = 5, gap_extend: int = 2,
                   min_seeds: int = 2, stitch_gap: int = 300,
                   max_seed_occ: int | None = None,
+                  xdrop_floor: int = 0,
                   launch_cache=None, table=None) -> MapHits:
     """Map every exemplar gene onto every genome.
 
@@ -158,6 +184,16 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
     table: optional prebuilt exemplar MinimizerTable (must come from
     genes.subset(exemplar_ids) at the index's k/w — the pipeline builds
     it once and shares it with index_genomes' membership prefilter).
+    xdrop_floor: blastn's ungapped pre-extension stage (SURVEY §2.2
+    blastn row: seed -> ungapped extend -> gapped extend).  Each chained
+    candidate gets an exact best-ungapped-segment score along its anchor
+    seed's diagonal (vectorized Kadane over the real substitution
+    scores, N/PAD semantics included); candidates below the floor skip
+    the full-band DP.  0 disables.  A bare k=13 seed scores 26, so
+    floors <= 26 drop nothing; the default pipeline floor (34 = seed +
+    4 net matches) was calibrated on the simulator fixtures where real
+    hits' ungapped anchors score far higher (counters map_xdrop_dropped
+    / map_xdrop_min_kept record the margin every run).
     """
     import time as _time
 
@@ -223,6 +259,40 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
     a = np.maximum(a, 0)
     b = np.minimum(b, clen)
     keep &= (b - a) >= np.minimum(min_frag_len, L)
+    if xdrop_floor > 0 and keep.any():
+        # ungapped pre-extension on the anchor seed's diagonal (see
+        # docstring); exact substitution scores, vectorized Kadane
+        kidx = np.flatnonzero(keep)
+        dna = alphabet.dna_score_matrix().astype(np.int32)
+        score_rows = []
+        for i in map(int, kidx):
+            q = sub.gene_tokens(int(c_ex[i]))
+            t = genomes.contig_tokens(int(c_ct[i]))
+            Lc = int(clen[i])
+            if c_fwd[i]:
+                d = int(c_g[i]) - int(c_q[i])
+            else:
+                # rc-space diagonal: query j matches t_rc[d + j] where
+                # t_rc[x] = comp(t[Lc-1-x]) and the seed k-mer starts at
+                # rc position Lc - k - c_g
+                d = Lc - index.k - int(c_g[i]) - int(c_q[i])
+            j0 = max(0, -d)
+            j1 = min(len(q), Lc - d)
+            if j1 <= j0:
+                score_rows.append(np.full(1, -100, np.int32))
+                continue
+            if c_fwd[i]:
+                ts = t[d + j0:d + j1]
+            else:
+                ts = alphabet.revcomp(t[Lc - d - j1:Lc - d - j0])
+            score_rows.append(dna[q[j0:j1], ts])
+        best = _ungapped_best(score_rows)
+        weak = best < xdrop_floor
+        if weak.any():
+            metrics.add("map_xdrop_dropped", int(weak.sum()))
+            keep[kidx[weak]] = False
+        if (~weak).any():
+            metrics.low("map_xdrop_min_kept", int(best[~weak].min()))
     cand_rows = sorted(set(
         (int(exemplar_ids[c_ex[i]]), int(c_ct[i]),
          1 if c_fwd[i] else -1, int(a[i]), int(b[i]))

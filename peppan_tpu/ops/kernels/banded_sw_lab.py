@@ -25,6 +25,14 @@ Knobs:
   defer_hmax   update the running best once per double-step
       (max(H_even, H_odd)) instead of per half-step: one fewer VPU op
       per two half-steps, exact because the running max is associative.
+  fold_shift   one sublane shift per half-step instead of two: the gap
+      recurrences only consume SHIFTED operands jointly —
+      En = max(shift(H1) - open, shift(E1) - ext) = shift(max(H1 - open,
+      E1 - ext)) because the sublane shift commutes with elementwise
+      max/sub; the inserted boundary row becomes max(0 - open, NEG - ext)
+      = -open (exact).  Same for the F side on odd parity.  Cross-lane
+      shifts are one of the three named SOL gaps (BASELINE.md roofline
+      notes), so halving them is the structural experiment.
 """
 
 from __future__ import annotations
@@ -51,6 +59,7 @@ def sw_banded_scores_lab(q: jax.Array, t: jax.Array, *,
                          state_dtype: str = "int32",
                          token_dtype: str = "int32",
                          defer_hmax: bool = False,
+                         fold_shift: bool = False,
                          interpret: bool = False) -> jax.Array:
     """Score-only banded SW, variant-parameterized; bit-equal to
     ops.sw.sw_banded(score mode) for every knob combination (the int16
@@ -106,16 +115,34 @@ def sw_banded_scores_lab(q: jax.Array, t: jax.Array, *,
 
         def half(qs, ts, parity, H1, H2, E1, F1):
             sv = jnp.where(qs == ts, mvec, xvec)
-            if parity == 0:
-                Hup, Fup = H1, F1
-                Hleft = jnp.concatenate([H1[1:], zero[:1]], axis=0)
-                Eleft = jnp.concatenate([E1[1:], zero[:1] + neg], axis=0)
+            if fold_shift:
+                # one shift per half: the gap recurrence only ever uses
+                # its two shifted operands jointly, and the sublane shift
+                # commutes with elementwise max/sub (docstring)
+                ho = H1 - open_first
+                if parity == 0:
+                    T = jnp.maximum(ho, E1 - gap_extend)
+                    En = jnp.concatenate(
+                        [T[1:], zero[:1] - open_first], axis=0)
+                    Fn = jnp.maximum(ho, F1 - gap_extend)
+                else:
+                    T = jnp.maximum(ho, F1 - gap_extend)
+                    Fn = jnp.concatenate(
+                        [zero[:1] - open_first, T[:-1]], axis=0)
+                    En = jnp.maximum(ho, E1 - gap_extend)
             else:
-                Hup = jnp.concatenate([zero[:1], H1[:-1]], axis=0)
-                Fup = jnp.concatenate([zero[:1] + neg, F1[:-1]], axis=0)
-                Hleft, Eleft = H1, E1
-            En = jnp.maximum(Hleft - open_first, Eleft - gap_extend)
-            Fn = jnp.maximum(Hup - open_first, Fup - gap_extend)
+                if parity == 0:
+                    Hup, Fup = H1, F1
+                    Hleft = jnp.concatenate([H1[1:], zero[:1]], axis=0)
+                    Eleft = jnp.concatenate([E1[1:], zero[:1] + neg],
+                                            axis=0)
+                else:
+                    Hup = jnp.concatenate([zero[:1], H1[:-1]], axis=0)
+                    Fup = jnp.concatenate([zero[:1] + neg, F1[:-1]],
+                                          axis=0)
+                    Hleft, Eleft = H1, E1
+                En = jnp.maximum(Hleft - open_first, Eleft - gap_extend)
+                Fn = jnp.maximum(Hup - open_first, Fup - gap_extend)
             dv = H2 + sv
             Hn = jnp.maximum(jnp.maximum(dv, 0), jnp.maximum(En, Fn))
             return Hn, H1, En, Fn

@@ -34,6 +34,14 @@ from . import minimizers, protein, sw
 from .genome_map import MapHits
 
 
+# cross-frame chain clustering tolerances: chains of one strand group
+# whose nucleotide diagonals sit within _FS_JUMP_NT are fragments of one
+# (possibly frameshifted) copy; fragments at least _MIN_SUBFRAG_AA long
+# may ride a cluster whose pooled span passes min_frag_aa
+_FS_JUMP_NT = 96
+_MIN_SUBFRAG_AA = 8
+
+
 def _frame_rows(contig: np.ndarray, gtable: int) -> list:
     """[(frame_id 0..5, aa_tokens)] for one contig (0-2 fwd, 3-5 rc)."""
     rc = alphabet.revcomp(contig)
@@ -43,6 +51,15 @@ def _frame_rows(contig: np.ndarray, gtable: int) -> list:
     for f in range(3):
         out.append((3 + f, alphabet.translate(rc[f:], gtable)))
     return out
+
+
+def _frame_one(contig: np.ndarray, fid: int, gtable: int) -> np.ndarray:
+    """aa tokens of ONE frame (0-2 fwd, 3-5 rc) — the window-collection
+    path only ever needs the frame a chain landed in, and re-deriving all
+    six per lookup was 6x redundant translation work (round-2 review)."""
+    if fid < 3:
+        return alphabet.translate(contig[fid:], gtable)
+    return alphabet.translate(alphabet.revcomp(contig)[fid - 3:], gtable)
 
 
 def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
@@ -156,7 +173,8 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
     _t = _time.perf_counter()
 
     rows_out = []
-    cand_all = []   # (aa row, genome, contig, frame id, win start, win aa)
+    cand_all = []   # (aa row, genome, contig, frame, win start, win aa, cid)
+    cid_base = 0    # cross-frame cluster ids, unique across genomes
     for gidx in sorted(queries):
         qh, qg, qp = queries[gidx]
         parts = per_g[gidx]
@@ -197,18 +215,43 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
         first = np.flatnonzero(brk)
         c_ex, c_ct, c_f = exs[first], cts[first], fds[first]
         c_g, c_q = gps2[first], qps2[first]
-        # DIAMOND's two-hit rule (its double-indexing demands two seed
-        # hits before extension): single-seed chains of full-length
-        # proteins are overwhelmingly Murphy-10 noise — at 2000 genomes
-        # they ballooned to 2.9M BLOSUM62 windows (~20 per missing
-        # combo), dominating the genome_map phase.  Short proteins keep
-        # the single-seed escape like the DNA path's fragment exception.
+        # --- frameshift-aware cross-frame chain clustering ---------------
+        # A frameshifted copy produces chains in DIFFERENT frames of one
+        # strand group whose NUCLEOTIDE diagonals differ by only the indel
+        # size.  Cluster chains of one (exemplar, contig, strand group) by
+        # nt-diagonal proximity; the DIAMOND two-hit rule and (below) the
+        # min_frag_aa span floor then apply at the CLUSTER level, so frame
+        # fragments that are individually sub-threshold still surface and
+        # stitch into one disrupted region (SURVEY §2.2 diamond row,
+        # round-2 verdict item 5).  Reverse frames cluster in revcomp-space
+        # coordinates — orientation-consistent within the strand group.
         nseeds = np.diff(np.r_[first, len(order2)])
+        nt_diag = (3 * c_g.astype(np.int64) + c_f % 3
+                   - 3 * c_q.astype(np.int64))
+        sgrp = c_f < 3
+        order4 = np.lexsort((nt_diag, sgrp, c_ct, c_ex))
+        cl_brk = np.ones(len(order4), bool)
+        if len(order4) > 1:
+            cl_brk[1:] = (
+                (c_ex[order4][1:] != c_ex[order4][:-1])
+                | (c_ct[order4][1:] != c_ct[order4][:-1])
+                | (sgrp[order4][1:] != sgrp[order4][:-1])
+                | (nt_diag[order4][1:] - nt_diag[order4][:-1] > _FS_JUMP_NT))
+        cid_sorted = np.cumsum(cl_brk) - 1
+        cid = np.empty(len(order4), np.int64)
+        cid[order4] = cid_sorted
+        n_cl = int(cid_sorted[-1]) + 1 if len(cid_sorted) else 0
+        cl_seeds = np.zeros(n_cl, np.int64)
+        np.add.at(cl_seeds, cid, nseeds)
+        # two-hit rule on the cluster's pooled seeds (DIAMOND's
+        # double-indexing analog); short proteins keep the single-seed
+        # escape like the DNA path's fragment exception
         Laa_chain = aa_store.length[c_ex].astype(np.int64)
-        chain_keep = ~((nseeds < min_seeds)
+        chain_keep = ~((cl_seeds[cid] < min_seeds)
                        & (Laa_chain > 4 * min_frag_aa))
         c_ex, c_ct, c_f = c_ex[chain_keep], c_ct[chain_keep], c_f[chain_keep]
         c_g, c_q = c_g[chain_keep], c_q[chain_keep]
+        cid = cid[chain_keep]
 
         # --- collect candidate windows (host slices; alignment is batched
         # across ALL genomes below — one row per launch wasted 7/8 of every
@@ -218,8 +261,8 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
         def frame_of(ctg, fid):
             key = (ctg, fid)
             if key not in frame_cache:
-                frame_cache[key] = _frame_rows(
-                    genomes.contig_tokens(ctg), gtable)[fid][1]
+                frame_cache[key] = _frame_one(
+                    genomes.contig_tokens(ctg), fid, gtable)
             return frame_cache[key]
 
         # vectorized window geometry + dedup FIRST, then materialize only
@@ -234,7 +277,9 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
                     - np.asarray(genomes.contig_offset)[c_ct])
             flen = (clen - (c_f % 3)) // 3
             b_arr = np.minimum(flen, a_arr + Laa_k + 2 * slack)
-            ok = (b_arr - a_arr) >= min_frag_aa
+            # a window must fit SOME useful fragment; the cluster-level
+            # span test below owns the min_frag_aa decision
+            ok = (b_arr - a_arr) >= min(min_frag_aa, _MIN_SUBFRAG_AA)
             # nearby chains collapse to one window: quantizing the start
             # by `slack` dedups same-locus candidates (the window already
             # carries +-slack around the chain anchor); too-short windows
@@ -253,7 +298,10 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
                 a = int(a_arr[ci2])
                 b = int(b_arr[ci2])
                 cand_all.append((row, gidx, ctg, fid, a,
-                                 np.ascontiguousarray(frame_aa[a:b])))
+                                 np.ascontiguousarray(frame_aa[a:b]),
+                                 cid_base + int(cid[ci2])))
+        if len(c_ex):
+            cid_base += int(cid.max()) + 1
         frame_cache.clear()
 
     # --- batched alignment over all collected candidates ------------------
@@ -282,7 +330,8 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
                 Ppad = 256 if P <= 256 else batch   # two shapes per width
                 qd = np.full((Ppad, qmaxb), alphabet.AA_PAD, np.int8)
                 td = np.full((Ppad, W), alphabet.AA_PAD, np.int8)
-                for ri, (row, _g, _c, _f, _a, win) in enumerate(chunk_rows):
+                for ri, (row, _g, _c, _f, _a, win,
+                         _cid) in enumerate(chunk_rows):
                     qt = aa_store.gene_tokens(row)
                     qd[ri, :len(qt)] = qt[:qmaxb]
                     td[ri, :len(win)] = win[:W]
@@ -301,15 +350,22 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
         metrics.add("pmap_t_launch", _time.perf_counter() - _t)
         _t = _time.perf_counter()
 
+        # pass 1: collect fragments that pass the identity floor, pooling
+        # query-interval coverage per cross-frame cluster
+        frags = []            # (cluster, span, qstart, qend, row record)
+        cl_ivals: dict = {}   # cluster -> [(qstart, qend)]
         for chunk_rows, handle in launches:
             res = sw.unpack_stats(np.asarray(handle), len(chunk_rows))
-            for ri, (row, gidx, ctg, fid, a, win) in enumerate(chunk_rows):
+            for ri, (row, gidx, ctg, fid, a, win,
+                     cluster) in enumerate(chunk_rows):
                 alen = int(res["aln_len"][ri])
                 if alen == 0:
                     continue
                 ident = res["matches"][ri] / alen
-                span = int(res["qend"][ri]) - int(res["qstart"][ri]) + 1
-                if ident < min_identity or span < min_frag_aa:
+                qs = int(res["qstart"][ri])
+                qe = int(res["qend"][ri])
+                span = qe - qs + 1
+                if ident < min_identity or span < _MIN_SUBFRAG_AA:
                     continue
                 Laa = int(aa_store.length[row])
                 # AA window coords -> frame coords -> fwd nucl coords
@@ -326,12 +382,46 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
                     ne = L - 1 - 3 * aa_s - f
                     strand = -1
                 ns, ne = max(0, ns), min(L - 1, ne)
-                rows_out.append(dict(
+                rec = dict(
                     exemplar=int(ex_of_row[row]), genome=gidx, contig=ctg,
                     start=ns, end=ne, strand=strand,
                     score=int(3 * match_score * res["matches"][ri]),
                     identity=float(ident),
-                    qcov=span / max(Laa, 1), stitched=False))
+                    qcov=span / max(Laa, 1), stitched=False)
+                lst = cl_ivals.setdefault(cluster, [])
+                frags.append((cluster, span, len(lst), rec))
+                lst.append((qs, qe))
+
+        def _union(ivals):
+            tot, last_end = 0, -1
+            for (qs, qe) in sorted(ivals):
+                if qs > last_end:
+                    tot += qe - qs + 1
+                    last_end = qe
+                elif qe > last_end:
+                    tot += qe - last_end
+                    last_end = qe
+            return tot
+
+        # pass 2: a fragment passes on its own span, OR on its cluster's
+        # pooled query coverage (union of intervals — frame fragments of
+        # one frameshifted copy cover complementary query ranges, so a
+        # copy whose halves are individually below min_frag_aa still
+        # surfaces; downstream dedup_and_stitch merges them into one
+        # disrupted region).  A rescued fragment must CONTRIBUTE new
+        # query coverage (>= _MIN_SUBFRAG_AA beyond the others' union):
+        # wrong-frame re-finds of an already-covered range stay dropped.
+        for cluster, span, pos, rec in frags:
+            if span >= min_frag_aa:
+                rows_out.append(rec)
+                continue
+            ivals = cl_ivals[cluster]
+            others = [iv for i2, iv in enumerate(ivals) if i2 != pos]
+            pooled = _union(ivals)
+            if (pooled >= min_frag_aa
+                    and pooled - _union(others) >= _MIN_SUBFRAG_AA):
+                rows_out.append(rec)
+                metrics.add("pmap_fs_rescued", 1)
 
     metrics.add("pmap_t_fetch", _time.perf_counter() - _t)
     if not rows_out:

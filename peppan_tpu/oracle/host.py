@@ -141,6 +141,158 @@ def similarity_groups(genes: GeneStore, exemplar: np.ndarray,
     return np.array([find(g) for g in range(n)], np.int64)
 
 
+# --- phase 6: divergence model + paralog split (naive) ----------------------
+
+def estimate_divergence(genes: GeneStore, group_root: np.ndarray,
+                        n_genomes: int) -> tuple:
+    """(expect[G,G], sigma): naive re-derivation of the production model
+    (cluster/split.estimate_divergence semantics): per genome pair, the
+    median 1-identity over members of shared SINGLE-COPY groups; missing
+    pairs fill with max of the two marginal medians; sigma = 1.4826 * MAD
+    of individual distances around their pair median (floor 0.01).
+
+    Sampling differs by design: production measures the phase-4 candidate
+    pairs it already verified; the oracle aligns EVERY cross-genome member
+    pair of every single-copy group (full-matrix DP).  Fixtures for the
+    golden diff must keep split decisions decisive under either sample."""
+    members: dict = {}
+    for gi, r in enumerate(group_root):
+        members.setdefault(int(r), []).append(gi)
+    by_pair: dict = {}
+    for _r, mem in sorted(members.items()):
+        gen = [int(genes.genome[i]) for i in mem]
+        if len(set(gen)) < len(gen):
+            continue                        # not single-copy
+        for x in range(len(mem)):
+            for y in range(x + 1, len(mem)):
+                a, b = mem[x], mem[y]
+                if gen[x] == gen[y]:
+                    continue
+                stats, _ = _align(genes.gene_tokens(a), genes.gene_tokens(b))
+                if stats["aln_len"] == 0:
+                    continue
+                d = 1.0 - stats["matches"] / stats["aln_len"]
+                key = (min(gen[x], gen[y]), max(gen[x], gen[y]))
+                by_pair.setdefault(key, []).append(d)
+    expect = np.zeros((n_genomes, n_genomes), np.float32)
+    observed = np.eye(n_genomes, dtype=bool)
+    meds, residuals = [], []
+    for (ga, gb), ds in sorted(by_pair.items()):
+        med = float(np.median(sorted(ds)))
+        expect[ga, gb] = expect[gb, ga] = med
+        observed[ga, gb] = observed[gb, ga] = True
+        meds.append(med)
+        residuals.extend(d - med for d in ds)
+    overall = float(np.median(meds)) if meds else 0.05
+    row_med = np.zeros(n_genomes, np.float32)
+    for g in range(n_genomes):
+        row = [expect[g, h] for h in range(n_genomes)
+               if h != g and observed[g, h]]
+        row_med[g] = float(np.median(row)) if row else overall
+    for g in range(n_genomes):
+        for h in range(n_genomes):
+            if not observed[g, h]:
+                expect[g, h] = max(row_med[g], row_med[h])
+    np.fill_diagonal(expect, 0.0)
+    sigma = (max(float(np.median(np.abs(residuals))) * 1.4826, 0.01)
+             if residuals else 0.02)
+    return expect, float(sigma)
+
+
+def _leaves_under(child_l, child_r, node, n):
+    if node < n:
+        return [int(node)]
+    return (_leaves_under(child_l, child_r, int(child_l[node]), n)
+            + _leaves_under(child_l, child_r, int(child_r[node]), n))
+
+
+def split_groups(genes: GeneStore, group_root: np.ndarray,
+                 expect: np.ndarray, sigma: float, *,
+                 allowed_sigma: float = 3.0) -> np.ndarray:
+    """Naive filt_per_group: groups with a duplicated genome get a full
+    all-pairs distance matrix (full-matrix DP), an interpreter-loop NJ
+    tree (cluster.nj.nj_ref — the device scan's independent oracle), and
+    the same normative edge test as cluster/split._cut_components: cut an
+    unrooted edge when the closest cross-bipartition pair exceeds the
+    mean genome-pair expectation + allowed_sigma * sigma.  Relabeling matches production: the component
+    holding the smallest gene id keeps the group label, the rest get
+    fresh labels ordered by smallest member."""
+    from ..cluster import nj as njmod
+
+    members: dict = {}
+    for gi, r in enumerate(group_root):
+        members.setdefault(int(r), []).append(gi)
+    out = group_root.copy()
+    next_label = int(group_root.max()) + 1
+    for grp, mem in sorted(members.items()):
+        gen = np.asarray([int(genes.genome[i]) for i in mem])
+        if len(np.unique(gen)) >= len(gen) or len(mem) <= 2:
+            continue
+        n = len(mem)
+        dm = np.zeros((n, n), np.float64)
+        for x in range(n):
+            for y in range(x + 1, n):
+                stats, _ = _align(genes.gene_tokens(mem[x]),
+                                  genes.gene_tokens(mem[y]))
+                d = (1.0 - stats["matches"] / stats["aln_len"]
+                     if stats["aln_len"] > 0 else 1.0)
+                # production distances are float32 (1 - f32 identity);
+                # quantize identically so knife-edge sums cannot differ
+                dm[x, y] = dm[y, x] = np.float32(d)
+        parent, _blen, cl, cr, root = njmod.nj_ref(dm)
+        E = expect[np.ix_(gen, gen)]
+
+        def edge_cut(amask):
+            bmask = ~amask
+            if not amask.any() or not bmask.any():
+                return False
+            cross = dm[np.ix_(amask, bmask)].astype(np.float32)
+            stat = float(cross.min())
+            exp = float(np.mean(E[np.ix_(amask, bmask)]))
+            return stat > exp + allowed_sigma * sigma
+
+        def mask_of(node):
+            msk = np.zeros(n, dtype=bool)
+            msk[_leaves_under(cl, cr, node, n)] = True
+            return msk
+
+        uf = list(range(2 * n - 1))
+
+        def find(a):
+            while uf[a] != a:
+                uf[a] = uf[uf[a]]
+                a = uf[a]
+            return a
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                uf[max(ra, rb)] = min(ra, rb)
+
+        if not edge_cut(mask_of(int(cl[root]))):
+            union(int(cl[root]), root)
+            union(int(cr[root]), root)
+        for x in range(2 * n - 2):
+            if parent[x] < 0 or parent[x] == root:
+                continue
+            if not edge_cut(mask_of(x)):
+                union(x, int(parent[x]))
+        comp = [find(lf) for lf in range(n)]
+        if len(set(comp)) <= 1:
+            continue
+        order: dict = {}
+        for leaf in np.argsort(np.asarray(mem)):
+            c = comp[int(leaf)]
+            if c not in order:
+                order[c] = len(order)
+        label_of = {c: (grp if o == 0 else next_label + o - 1)
+                    for c, o in order.items()}
+        for leaf, gidx in enumerate(mem):
+            out[gidx] = label_of[comp[leaf]]
+        next_label += len(order) - 1
+    return out
+
+
 # --- phase 5: exhaustive genome mapping -------------------------------------
 
 @dataclasses.dataclass
@@ -234,9 +386,15 @@ def greedy_assign(hits: list, group_of_exemplar: dict, genes: GeneStore,
                   genomes: GenomeStore, *, overlap_frac: float = 0.15,
                   pseudogene_frac: float = 0.8,
                   locus_dominance: float = 0.65,
+                  synteny_gap: int = 300, synteny_diff: float = 1.2,
+                  neighbor_check: bool = False,
                   tail_frac: float = 0.9) -> Regions:
-    """Documented tie-breaks, O(n^2) everywhere (no heap/bisect/synteny-
-    tie special cases beyond the shared ordering rules)."""
+    """Documented tie-breaks, O(n^2) everywhere (no heap/bisect/bucket
+    structures).  neighbor_check replicates the production synteny
+    resolution (assign/greedy.py): when a group holds near-tied placements
+    in one genome (best_score <= score * synteny_diff), the placement whose
+    flanking claimed groups (within synteny_gap) agree with the group's
+    claimed neighbourhood consensus in other genomes is claimed first."""
     m = len(hits)
     grp = [int(group_of_exemplar[h.exemplar]) for h in hits]
 
@@ -260,13 +418,13 @@ def greedy_assign(hits: list, group_of_exemplar: dict, genes: GeneStore,
                 dominated[j] = True
 
     live = [i for i in range(m) if not dominated[i]]
-    claimed: dict = {}          # contig -> [(s, e)]
+    claimed: dict = {}          # contig -> [(s, e, group)]
     taken = [False] * m
 
     def viable(i):
         h = hits[i]
         ln = h.end - h.start + 1
-        for (cs, ce) in claimed.get(h.contig, []):
+        for (cs, ce, _cg) in claimed.get(h.contig, []):
             ov = max(0, min(h.end, ce) - max(h.start, cs) + 1)
             if ov > overlap_frac * min(ln, ce - cs + 1):
                 return False
@@ -275,6 +433,12 @@ def greedy_assign(hits: list, group_of_exemplar: dict, genes: GeneStore,
     def group_score(g):
         return sum(hits[i].score for i in live
                    if grp[i] == g and not taken[i] and viable(i))
+
+    def neighbors_of(i):
+        h = hits[i]
+        lo, hi = h.start - synteny_gap, h.end + synteny_gap
+        return {int(cg) for (cs, ce, cg) in claimed.get(h.contig, [])
+                if ce >= lo and cs <= hi}
 
     groups = sorted(set(grp[i] for i in live))
     while True:
@@ -287,12 +451,32 @@ def greedy_assign(hits: list, group_of_exemplar: dict, genes: GeneStore,
         cand = [i for i in live if grp[i] == g and not taken[i]]
         cand.sort(key=lambda i: (-hits[i].score, hits[i].genome,
                                  hits[i].contig, hits[i].start))
+        per_genome: dict = {}
         for i in cand:
-            if not viable(i):
-                continue
-            taken[i] = True
-            claimed.setdefault(hits[i].contig, []).append(
-                (hits[i].start, hits[i].end))
+            if viable(i):
+                per_genome.setdefault(int(hits[i].genome), []).append(i)
+        consensus: dict = {}
+        if neighbor_check:
+            for gm, lst in per_genome.items():
+                for x in neighbors_of(lst[0]):
+                    consensus[x] = consensus.get(x, 0) + 1
+        for gm, lst in sorted(per_genome.items()):
+            if neighbor_check and len(lst) > 1:
+                best_sc = hits[lst[0]].score
+                tied = [i for i in lst
+                        if best_sc <= hits[i].score * synteny_diff]
+                if len(tied) > 1:
+                    tied.sort(key=lambda i: (
+                        -len(neighbors_of(i) & set(consensus)),
+                        -hits[i].score, hits[i].contig, hits[i].start))
+                    rest = [i for i in lst if i not in tied]
+                    lst = tied + rest
+            for i in lst:
+                if not viable(i):
+                    continue
+                taken[i] = True
+                claimed.setdefault(hits[i].contig, []).append(
+                    (hits[i].start, hits[i].end, g))
 
     idx = [i for i in range(m) if taken[i]]
     idx.sort(key=lambda i: (hits[i].genome, hits[i].contig, hits[i].start))
@@ -387,7 +571,10 @@ def run(genome_store: GenomeStore, gene_store: GeneStore, *,
         clust_identity: float = 0.9, clust_match_prop: float = 0.9,
         match_identity: float = 0.65, match_prop: float = 0.5,
         match_len: int = 0, match_frag_len: int = 50,
-        stitch_gap: int = 300, pseudogene_frac: float = 0.8) -> dict:
+        stitch_gap: int = 300, pseudogene_frac: float = 0.8,
+        paralog_split: bool = False, allowed_sigma: float = 3.0,
+        neighbor_check: bool = False, synteny_gap: int = 300,
+        synteny_diff: float = 1.2) -> dict:
     """Phases 3-7 end to end; returns the decision set for diffing."""
     root, exemplar, exemplar_ids = cluster(
         gene_store, identity=clust_identity, coverage=clust_match_prop)
@@ -395,6 +582,11 @@ def run(genome_store: GenomeStore, gene_store: GeneStore, *,
         gene_store, exemplar, exemplar_ids,
         match_identity=match_identity, match_prop=match_prop,
         match_len=match_len)
+    if paralog_split:
+        expect, sigma = estimate_divergence(
+            gene_store, group_root, genome_store.n_genomes)
+        group_root = split_groups(gene_store, group_root, expect, sigma,
+                                  allowed_sigma=allowed_sigma)
     hits = map_exemplars(gene_store, genome_store, exemplar_ids,
                          min_identity=match_identity,
                          min_frag_len=match_frag_len,
@@ -402,7 +594,10 @@ def run(genome_store: GenomeStore, gene_store: GeneStore, *,
     group_of_exemplar = {int(e): int(group_root[int(e)])
                          for e in exemplar_ids}
     regions = greedy_assign(hits, group_of_exemplar, gene_store,
-                            genome_store, pseudogene_frac=pseudogene_frac)
+                            genome_store, pseudogene_frac=pseudogene_frac,
+                            neighbor_check=neighbor_check,
+                            synteny_gap=synteny_gap,
+                            synteny_diff=synteny_diff)
     return {"root": root, "exemplar": exemplar,
             "exemplar_ids": exemplar_ids, "group_root": group_root,
             "hits": hits, "regions": regions}

@@ -297,6 +297,7 @@ def _run_inner(paths: list, cfg: PipelineConfig,
             min_frag_prop=cfg.match_frag_prop,
             band=cfg.band, batch=cfg.sw_batch, gap_open=cfg.gap_open,
             gap_extend=cfg.gap_extend, stitch_gap=cfg.synteny_gap,
+            xdrop_floor=cfg.xdrop_floor,
             launch_cache=launch_cache if cfg.continue_run else None)
         if not cfg.nucl_only:
             # DIAMOND-vs-genome stage: protein-search each genome for the

@@ -24,6 +24,14 @@ def add(name: str, value: int | float) -> None:
         _counters[name] = _counters.get(name, 0) + value
 
 
+def low(name: str, value: int | float) -> None:
+    """Keep the MINIMUM seen — watermark counters (e.g. the smallest
+    ungapped anchor score among surviving map candidates, which says how
+    much xdrop_floor headroom a run actually had)."""
+    with _lock:
+        _counters[name] = min(_counters.get(name, value), value)
+
+
 def snapshot() -> dict:
     with _lock:
         return dict(_counters)

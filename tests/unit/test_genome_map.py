@@ -171,3 +171,100 @@ def test_nonsense_mutation_called_pseudogene(tmp_path):
     sel0 = np.flatnonzero((regions.exemplar == ex_fam[0])
                           & (regions.genome == 0))
     assert regions.status[int(sel0[0])] == "CDS"
+
+
+def test_ungapped_best_matches_naive():
+    """Vectorized Kadane vs an explicit python max-subarray."""
+    rng = np.random.default_rng(9)
+    rows = [rng.integers(-3, 3, size=int(n)).astype(np.int32)
+            for n in rng.integers(1, 200, size=50)]
+    got = genome_map._ungapped_best(rows)
+    for r, g in zip(rows, got):
+        best, cur = -10**9, 0
+        for v in map(int, r):
+            cur = max(v, cur + v)
+            best = max(best, cur)
+        assert int(g) == best
+
+
+def test_xdrop_floor_keeps_every_real_hit(mapped):
+    """The default ungapped pre-extension floor (34) must not change the
+    hit table on a clean fixture — real anchors score far above it
+    (blastn parity stage, SURVEY §2.2; round-2 verdict item 2)."""
+    sim, genomes, genes, ex, hits = mapped
+    index = genome_map.index_genomes(genomes)
+    hits34 = genome_map.map_exemplars(genes, genomes, ex, index,
+                                      xdrop_floor=34)
+    import dataclasses as dc
+    for f in dc.fields(genome_map.MapHits):
+        assert np.array_equal(getattr(hits, f.name),
+                              getattr(hits34, f.name)), f.name
+
+
+def test_xdrop_floor_drops_bare_seed_noise(tmp_path):
+    """Two planted 16-bp exact islands on one diagonal pass two-hit
+    chaining but their best ungapped segment (<= 32) sits below the
+    floor: the candidate must skip the banded DP entirely (counter), and
+    the final hit table must be unchanged vs floor=0 (the DP would have
+    rejected it on identity anyway — the floor only saves the work)."""
+    from peppan_tpu.utils import metrics
+
+    from peppan_tpu.io.tokens import GeneStore
+    from peppan_tpu.ops import pairs as prs
+
+    rng = np.random.default_rng(123)
+    sim = simulate.simulate(n_genomes=2, n_core=5, n_accessory=0,
+                            mean_gene_codons=150, divergence=0.01, seed=3)
+    (cname, s, e, st, gid) = sim.features[0][0]
+    contig0 = sim.contigs[0][cname]
+    gene = contig0[s - 1:e]
+    if st < 0:
+        gene = ab.revcomp(gene)
+    # islands are planted AT the gene's own minimizer positions so the
+    # hash join deterministically seeds them; >= 90 bp of random spacer
+    # between islands keeps the joint ungapped segment deeply negative
+    tbl = prs.build_minimizer_table(
+        GeneStore.from_sequences([gene], genome=np.zeros(1, np.int64)),
+        k=13, w=8)
+    picks, last = [], -1000
+    for p in sorted(tbl.pos.tolist()):
+        if p - last >= 90 and p + 16 <= len(gene):
+            picks.append(int(p))
+            last = int(p)
+    assert len(picks) >= 2
+    parts, qprev = [rng.integers(0, 4, 400).astype(np.int8)], None
+    for p in picks:
+        if qprev is not None:
+            gap = rng.integers(0, 4, p - qprev - 16).astype(np.int8)
+            # guaranteed mismatches right at the island borders: the
+            # segment score is EXACTLY 2 * 16 = 32 < 34
+            gap[0] = (int(gene[qprev + 16]) + 1) % 4
+            gap[-1] = (int(gene[p - 1]) + 1) % 4
+            parts.append(gap)
+        parts.append(gene[p:p + 16])
+        qprev = p
+    tail = rng.integers(0, 4, 400).astype(np.int8)
+    tail[0] = (int(gene[qprev + 16]) + 1) % 4
+    parts[0][-1] = (int(gene[picks[0] - 1]) + 1) % 4 if picks[0] else 0
+    parts.append(tail)
+    junk = np.concatenate(parts)
+    c2name = list(sim.contigs[1])[0]
+    sim.contigs[1][c2name] = np.concatenate([sim.contigs[1][c2name], junk])
+    paths = simulate.write_gff(sim, str(tmp_path / "gff"))
+    genomes, genes = gff.load_genomes(paths)
+    index = genome_map.index_genomes(genomes)
+    ex = np.flatnonzero(genes.genome == 0).astype(np.int64)
+
+    metrics.reset()
+    h0 = genome_map.map_exemplars(genes, genomes, ex, index, xdrop_floor=0)
+    w0 = metrics.snapshot().get("map_windows", 0)
+    metrics.reset()
+    h1 = genome_map.map_exemplars(genes, genomes, ex, index, xdrop_floor=34)
+    snap = metrics.snapshot()
+    assert snap.get("map_xdrop_dropped", 0) >= 1
+    assert snap.get("map_windows", 0) < w0
+    assert snap.get("map_xdrop_min_kept", 0) > 34
+    import dataclasses as dc
+    for f in dc.fields(genome_map.MapHits):
+        assert np.array_equal(getattr(h0, f.name),
+                              getattr(h1, f.name)), f.name
