@@ -65,9 +65,14 @@ def _ladder_extras() -> dict:
         out["pan100_wall_s"] = best[100].get("wall_seconds")
         out["pan100_recorded_at"] = best[100].get("date", "")
     if best:
+        # metric #2 comes from the LARGEST completed rung; label which one
+        # and when, so the provenance of each extra is explicit
         biggest = best[max(best)]
         if "pairs_per_second" in biggest:
             out["gene_pair_alignments_per_s"] = biggest["pairs_per_second"]
+            out["gene_pairs_config"] = biggest.get(
+                "config", f"{max(best)}_genomes")
+            out["gene_pairs_recorded_at"] = biggest.get("date", "")
     return out
 
 

@@ -60,6 +60,11 @@ def main(variants) -> None:
             return lambda qq, tt: sw_banded_scores_pallas(qq, tt, band=B)
         if variant == "pallas_v2":
             return lambda qq, tt: sw_banded_scores_pallas_v2(qq, tt, band=B)
+        if variant == "pallas_stats":
+            from peppan_tpu.ops.kernels.banded_sw_v2 import (
+                sw_banded_stats_pallas_v2)
+            return lambda qq, tt: sw_banded_stats_pallas_v2(
+                qq, tt, band=B)[0]
         if variant.startswith("pallas_v2_bp"):   # e.g. pallas_v2_bp256
             bp = int(variant[len("pallas_v2_bp"):])
             return lambda qq, tt: sw_banded_scores_pallas_v2(
@@ -79,6 +84,8 @@ def main(variants) -> None:
             for p in parts[2:]:
                 if p == "defer":
                     kw["defer_hmax"] = True
+                elif p == "fold":
+                    kw["fold_shift"] = True
                 elif p.startswith("bp"):
                     kw["block_p"] = int(p[2:])
                 elif p.startswith("c"):

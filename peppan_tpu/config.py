@@ -52,6 +52,11 @@ class PipelineConfig:
     #   seed) drops nothing, 0 disables the stage entirely
     nucl_only: bool = False             # --nucl : skip protein-level search
     protein_identity: float = 0.35      # AA identity floor (diamond stage)
+    aa_xdrop_floor: int = 15            # ungapped BLOSUM62 pre-extension
+    #   floor for protein candidate windows (diamond's seed-extension
+    #   stage; ops.protein_map docstring).  Murphy-10 7-mer seeds can
+    #   score as low as ~7 in true BLOSUM62, so this default only sheds
+    #   windows whose anchor neighbourhood carries no signal; 0 disables
     exhaustive_fallback: bool = False   # blastn-grade windowed sweep for
     #   (genome, group) combos that seeding left with zero candidates
     #   (parallel.seqtile); O(genome_len x gene_len) per combo, opt-in

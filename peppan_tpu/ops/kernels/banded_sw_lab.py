@@ -50,7 +50,8 @@ NEG16 = -30000
 
 @functools.partial(jax.jit, static_argnames=(
     "match", "mismatch", "gap_open", "gap_extend", "band", "c0", "block_p",
-    "chunk", "state_dtype", "token_dtype", "defer_hmax", "interpret"))
+    "chunk", "state_dtype", "token_dtype", "defer_hmax", "fold_shift",
+    "interpret"))
 def sw_banded_scores_lab(q: jax.Array, t: jax.Array, *,
                          match: int = 2, mismatch: int = -3,
                          gap_open: int = 5, gap_extend: int = 2,

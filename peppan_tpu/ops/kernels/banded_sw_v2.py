@@ -91,17 +91,23 @@ def sw_banded_scores_pallas_v2(q: jax.Array, t: jax.Array, *,
         zero = jnp.zeros((B, block_p), jnp.int32)
 
         def half(qs, ts, parity, H1, H2, E1, F1, Hmax):
+            # fold-shift form (measured +36% on v5e, 2026-08-20): the gap
+            # recurrence only consumes its two SHIFTED operands jointly,
+            # and the sublane shift commutes with elementwise max/sub —
+            # En = max(shift(H1)-open, shift(E1)-ext) = shift(max(H1-open,
+            # E1-ext)) — so each half pays ONE cross-sublane shift instead
+            # of two.  Inserted boundary row = max(0-open, NEG-ext) =
+            # -open (bit-equal; tests drive both backends)
             sv = jnp.where(qs == ts, match, mismatch)
+            ho = H1 - open_first
             if parity == 0:
-                Hup, Fup = H1, F1
-                Hleft = jnp.concatenate([H1[1:], zero[:1]], axis=0)
-                Eleft = jnp.concatenate([E1[1:], zero[:1] + NEG], axis=0)
+                T = jnp.maximum(ho, E1 - gap_extend)
+                En = jnp.concatenate([T[1:], zero[:1] - open_first], axis=0)
+                Fn = jnp.maximum(ho, F1 - gap_extend)
             else:
-                Hup = jnp.concatenate([zero[:1], H1[:-1]], axis=0)
-                Fup = jnp.concatenate([zero[:1] + NEG, F1[:-1]], axis=0)
-                Hleft, Eleft = H1, E1
-            En = jnp.maximum(Hleft - open_first, Eleft - gap_extend)
-            Fn = jnp.maximum(Hup - open_first, Fup - gap_extend)
+                T = jnp.maximum(ho, F1 - gap_extend)
+                Fn = jnp.concatenate([zero[:1] - open_first, T[:-1]], axis=0)
+                En = jnp.maximum(ho, E1 - gap_extend)
             dv = H2 + sv
             Hn = jnp.maximum(jnp.maximum(dv, 0), jnp.maximum(En, Fn))
             return Hn, H1, En, Fn, jnp.maximum(Hmax, Hn)
@@ -177,12 +183,14 @@ def sw_banded_stats_pallas_v2(q: jax.Array, t: jax.Array, *,
     match * min(Mq, Mt) <= 32767 (score must fit 15 bits).
 
     MEASURED (v5e, cache-proof slope, P=4096 M=1024 B=128): 17 carries
-    = 34-36 Gcell/s; this 15-carry version = ~37 (bit-equal on-chip) vs
-    ~84-98 for the XLA scan — the 12 stats-propagation tiles, not the
-    best trackers, set the register pressure, so carry trimming cannot
-    close the gap.  Kept as a verified alternate; production stats stay
-    on the scan (ops.sw._pallas_stats_enabled, default off).  Score
-    mode's 5 carries hit 145-183 and ARE production (PEPPAN_PALLAS_SCORES).
+    = 34-36 Gcell/s; the 15-carry packed-tracker revision = ~37; adding
+    the fold-shift halving (6 -> 3 sublane shifts per half, 2026-08-20)
+    = ~44.5 — still below the XLA scan's ~80-98, because the 12
+    stats-propagation tiles set the register pressure, and neither carry
+    trimming nor shift folding changes that.  Kept as a verified
+    alternate; production stats stay on the scan
+    (ops.sw._pallas_stats_enabled, default off).  Score mode's 5 carries
+    are production (PEPPAN_PALLAS_SCORES) — see its fold-shift note.
     """
     if c0 % 2 != 0:
         raise ValueError("c0 must be even")
@@ -236,45 +244,44 @@ def sw_banded_stats_pallas_v2(q: jax.Array, t: jax.Array, *,
              SH1a, SH1b, SH2a, SH2b, SE1a, SE1b, SF1a, SF1b,
              bSD, bSMA, bSQT) = st
             sv = jnp.where(qs == ts, match, mismatch)
+            # fold-shift form (see score kernel): the shifted-operand side
+            # of the gap recurrence — value max, its >= pick, and both
+            # stats selections — all commute with the sublane shift, so
+            # each half pays THREE shifts (En, SEna, SEnb or the F side)
+            # instead of six.  Inserted boundary rows: value -open_first
+            # (= max(0 - open, NEG - ext)), aln-stat 1 (= where(eo, 0, 0)
+            # + 1), start-stat 0 — exactly v2's boundary algebra
+            ho = H1 - open_first
             if parity == 0:
-                Hup, Fup = H1, F1
-                Hleft = jnp.concatenate([H1[1:], zero[:1]], axis=0)
-                Eleft = jnp.concatenate([E1[1:], zero[:1] + NEG], axis=0)
-                SHua, SHub = SH1a, SH1b
-                SHla = jnp.concatenate([SH1a[1:], zero[:1]], axis=0)
-                SHlb = jnp.concatenate([SH1b[1:], zero[:1]], axis=0)
-                SEla = jnp.concatenate([SE1a[1:], zero[:1]], axis=0)
-                SElb = jnp.concatenate([SE1b[1:], zero[:1]], axis=0)
-                SFua, SFub = SF1a, SF1b
+                T = jnp.maximum(ho, E1 - gap_extend)
+                eo_u = ho >= E1 - gap_extend
+                SEa_u = jnp.where(eo_u, SH1a, SE1a) + 1
+                SEb_u = jnp.where(eo_u, SH1b, SE1b)
+                En = jnp.concatenate([T[1:], zero[:1] - open_first], axis=0)
+                SEna = jnp.concatenate([SEa_u[1:], zero[:1] + 1], axis=0)
+                SEnb = jnp.concatenate([SEb_u[1:], zero[:1]], axis=0)
+                Fn = jnp.maximum(ho, F1 - gap_extend)
+                fo = ho >= F1 - gap_extend
+                SFna = jnp.where(fo, SH1a, SF1a) + 1
+                SFnb = jnp.where(fo, SH1b, SF1b)
             else:
-                Hup = jnp.concatenate([zero[:1], H1[:-1]], axis=0)
-                Fup = jnp.concatenate([zero[:1] + NEG, F1[:-1]], axis=0)
-                Hleft, Eleft = H1, E1
-                SHua = jnp.concatenate([zero[:1], SH1a[:-1]], axis=0)
-                SHub = jnp.concatenate([zero[:1], SH1b[:-1]], axis=0)
-                SHla, SHlb = SH1a, SH1b
-                SEla, SElb = SE1a, SE1b
-                SFua = jnp.concatenate([zero[:1], SF1a[:-1]], axis=0)
-                SFub = jnp.concatenate([zero[:1], SF1b[:-1]], axis=0)
-            e_open = Hleft - open_first
-            e_ext = Eleft - gap_extend
-            En = jnp.maximum(e_open, e_ext)
-            f_open = Hup - open_first
-            f_ext = Fup - gap_extend
-            Fn = jnp.maximum(f_open, f_ext)
+                T = jnp.maximum(ho, F1 - gap_extend)
+                fo_u = ho >= F1 - gap_extend
+                SFa_u = jnp.where(fo_u, SH1a, SF1a) + 1
+                SFb_u = jnp.where(fo_u, SH1b, SF1b)
+                Fn = jnp.concatenate([zero[:1] - open_first, T[:-1]], axis=0)
+                SFna = jnp.concatenate([zero[:1] + 1, SFa_u[:-1]], axis=0)
+                SFnb = jnp.concatenate([zero[:1], SFb_u[:-1]], axis=0)
+                En = jnp.maximum(ho, E1 - gap_extend)
+                eo = ho >= E1 - gap_extend
+                SEna = jnp.where(eo, SH1a, SE1a) + 1
+                SEnb = jnp.where(eo, SH1b, SE1b)
             dv = H2 + sv
             Hn = jnp.maximum(jnp.maximum(dv, 0), jnp.maximum(En, Fn))
 
             ivec = i0r + lanevec
             jvec = d - ivec
             is_match = (qs == ts).astype(jnp.int32)
-
-            eo = e_open >= e_ext
-            SEna = jnp.where(eo, SHla, SEla) + 1
-            SEnb = jnp.where(eo, SHlb, SElb)
-            fo = f_open >= f_ext
-            SFna = jnp.where(fo, SHua, SFua) + 1
-            SFnb = jnp.where(fo, SHub, SFub)
 
             fresh = H2 == 0
             cur_qt = (ivec + BIAS) * 65536 + (jvec + BIAS)

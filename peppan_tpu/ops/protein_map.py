@@ -69,11 +69,20 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
                         band: int = 64, slack: int = 24, batch: int = 1024,
                         gap_open: int = 11, gap_extend: int = 1,
                         match_score: int = 2, chunk: int = 1 << 13,
-                        min_seeds: int = 2) -> MapHits:
+                        min_seeds: int = 2, xdrop_floor: int = 0) -> MapHits:
     """Protein-search genomes for exemplars missing there.
 
     missing: {genome_index: [exemplar gene ids]}.  Returns MapHits in
     forward-strand nucleotide coordinates with nucl-equivalent scores.
+
+    xdrop_floor: DIAMOND's ungapped seed-extension stage (SURVEY §2.2
+    diamond row) — each candidate window's best ungapped BLOSUM62
+    segment along its chain-anchor diagonal (exact, vectorized Kadane)
+    must reach the floor or the window skips the banded DP.  0 disables.
+    Murphy-10 seeds are reduced-alphabet exact, so a 7-mer seed's true
+    BLOSUM62 diagonal score can be as low as ~7 — floors well above the
+    seed score are measured against the watermark counter
+    pmap_xdrop_min_kept before being made a default.
     """
     import time as _time
 
@@ -290,6 +299,9 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
                              c_f[kept].astype(np.int64),
                              a_arr[kept] // max(slack, 1)], axis=1)
             _, first_idx = np.unique(qkey, axis=0, return_index=True)
+            strip_rows, strip_meta = [], []
+            blosum = (alphabet.blosum62_matrix().astype(np.int32)
+                      if xdrop_floor > 0 else None)
             for ci2 in kept[np.sort(first_idx)]:
                 row = int(c_ex[ci2])
                 ctg = int(c_ct[ci2])
@@ -297,9 +309,34 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
                 frame_aa = frame_of(ctg, fid)
                 a = int(a_arr[ci2])
                 b = int(b_arr[ci2])
-                cand_all.append((row, gidx, ctg, fid, a,
-                                 np.ascontiguousarray(frame_aa[a:b]),
-                                 cid_base + int(cid[ci2])))
+                rec = (row, gidx, ctg, fid, a,
+                       np.ascontiguousarray(frame_aa[a:b]),
+                       cid_base + int(cid[ci2]))
+                if blosum is None:
+                    cand_all.append(rec)
+                    continue
+                # ungapped pre-extension on the chain-anchor diagonal
+                qt = aa_store.gene_tokens(row)
+                d0 = int(c_g[ci2]) - int(c_q[ci2])
+                j0 = max(0, -d0)
+                j1 = min(len(qt), len(frame_aa) - d0)
+                if j1 <= j0:
+                    metrics.add("pmap_xdrop_dropped", 1)
+                    continue
+                strip_rows.append(blosum[qt[j0:j1],
+                                         frame_aa[d0 + j0:d0 + j1]])
+                strip_meta.append(rec)
+            if strip_meta:
+                from .genome_map import _ungapped_best
+                best = _ungapped_best(strip_rows)
+                weak = best < xdrop_floor
+                if weak.any():
+                    metrics.add("pmap_xdrop_dropped", int(weak.sum()))
+                if (~weak).any():
+                    metrics.low("pmap_xdrop_min_kept",
+                                int(best[~weak].min()))
+                cand_all.extend(r for r, w in zip(strip_meta, weak)
+                                if not w)
         if len(c_ex):
             cid_base += int(cid.max()) + 1
         frame_cache.clear()

@@ -206,19 +206,80 @@ def _leaves_under(child_l, child_r, node, n):
             + _leaves_under(child_l, child_r, int(child_r[node]), n))
 
 
+def _pair_distance_matrix(seqs: list) -> np.ndarray:
+    """Full-matrix DP all-pairs distance (1 - identity), float32-quantized
+    like production's (1 - f32 identity) so knife-edge sums cannot differ."""
+    n = len(seqs)
+    dm = np.zeros((n, n), np.float64)
+    for x in range(n):
+        for y in range(x + 1, n):
+            stats, _ = _align(seqs[x], seqs[y])
+            d = (1.0 - stats["matches"] / stats["aln_len"]
+                 if stats["aln_len"] > 0 else 1.0)
+            dm[x, y] = dm[y, x] = np.float32(d)
+    return dm
+
+
+def _tree_components(dm: np.ndarray, gen: np.ndarray, expect: np.ndarray,
+                     sigma: float, allowed_sigma: float) -> list:
+    """NJ tree (interpreter-loop nj_ref) + the normative edge test: cut an
+    unrooted edge when the closest cross-bipartition pair exceeds the mean
+    genome-pair expectation + allowed_sigma * sigma.  Returns a component
+    id per leaf."""
+    from ..cluster import nj as njmod
+
+    n = dm.shape[0]
+    parent, _blen, cl, cr, root = njmod.nj_ref(dm)
+    E = expect[np.ix_(gen, gen)]
+
+    def edge_cut(amask):
+        bmask = ~amask
+        if not amask.any() or not bmask.any():
+            return False
+        cross = dm[np.ix_(amask, bmask)].astype(np.float32)
+        stat = float(cross.min())
+        exp = float(np.mean(E[np.ix_(amask, bmask)]))
+        return stat > exp + allowed_sigma * sigma
+
+    def mask_of(node):
+        msk = np.zeros(n, dtype=bool)
+        msk[_leaves_under(cl, cr, node, n)] = True
+        return msk
+
+    uf = list(range(2 * n - 1))
+
+    def find(a):
+        while uf[a] != a:
+            uf[a] = uf[uf[a]]
+            a = uf[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            uf[max(ra, rb)] = min(ra, rb)
+
+    if not edge_cut(mask_of(int(cl[root]))):
+        union(int(cl[root]), root)
+        union(int(cr[root]), root)
+    for x in range(2 * n - 2):
+        if parent[x] < 0 or parent[x] == root:
+            continue
+        if not edge_cut(mask_of(x)):
+            union(x, int(parent[x]))
+    return [find(lf) for lf in range(n)]
+
+
 def split_groups(genes: GeneStore, group_root: np.ndarray,
                  expect: np.ndarray, sigma: float, *,
                  allowed_sigma: float = 3.0) -> np.ndarray:
     """Naive filt_per_group: groups with a duplicated genome get a full
     all-pairs distance matrix (full-matrix DP), an interpreter-loop NJ
     tree (cluster.nj.nj_ref — the device scan's independent oracle), and
-    the same normative edge test as cluster/split._cut_components: cut an
-    unrooted edge when the closest cross-bipartition pair exceeds the
-    mean genome-pair expectation + allowed_sigma * sigma.  Relabeling matches production: the component
+    the same normative edge test as cluster/split._cut_components (see
+    _tree_components).  Relabeling matches production: the component
     holding the smallest gene id keeps the group label, the rest get
     fresh labels ordered by smallest member."""
-    from ..cluster import nj as njmod
-
     members: dict = {}
     for gi, r in enumerate(group_root):
         members.setdefault(int(r), []).append(gi)
@@ -228,56 +289,8 @@ def split_groups(genes: GeneStore, group_root: np.ndarray,
         gen = np.asarray([int(genes.genome[i]) for i in mem])
         if len(np.unique(gen)) >= len(gen) or len(mem) <= 2:
             continue
-        n = len(mem)
-        dm = np.zeros((n, n), np.float64)
-        for x in range(n):
-            for y in range(x + 1, n):
-                stats, _ = _align(genes.gene_tokens(mem[x]),
-                                  genes.gene_tokens(mem[y]))
-                d = (1.0 - stats["matches"] / stats["aln_len"]
-                     if stats["aln_len"] > 0 else 1.0)
-                # production distances are float32 (1 - f32 identity);
-                # quantize identically so knife-edge sums cannot differ
-                dm[x, y] = dm[y, x] = np.float32(d)
-        parent, _blen, cl, cr, root = njmod.nj_ref(dm)
-        E = expect[np.ix_(gen, gen)]
-
-        def edge_cut(amask):
-            bmask = ~amask
-            if not amask.any() or not bmask.any():
-                return False
-            cross = dm[np.ix_(amask, bmask)].astype(np.float32)
-            stat = float(cross.min())
-            exp = float(np.mean(E[np.ix_(amask, bmask)]))
-            return stat > exp + allowed_sigma * sigma
-
-        def mask_of(node):
-            msk = np.zeros(n, dtype=bool)
-            msk[_leaves_under(cl, cr, node, n)] = True
-            return msk
-
-        uf = list(range(2 * n - 1))
-
-        def find(a):
-            while uf[a] != a:
-                uf[a] = uf[uf[a]]
-                a = uf[a]
-            return a
-
-        def union(a, b):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                uf[max(ra, rb)] = min(ra, rb)
-
-        if not edge_cut(mask_of(int(cl[root]))):
-            union(int(cl[root]), root)
-            union(int(cr[root]), root)
-        for x in range(2 * n - 2):
-            if parent[x] < 0 or parent[x] == root:
-                continue
-            if not edge_cut(mask_of(x)):
-                union(x, int(parent[x]))
-        comp = [find(lf) for lf in range(n)]
+        dm = _pair_distance_matrix([genes.gene_tokens(i) for i in mem])
+        comp = _tree_components(dm, gen, expect, sigma, allowed_sigma)
         if len(set(comp)) <= 1:
             continue
         order: dict = {}
@@ -387,14 +400,21 @@ def greedy_assign(hits: list, group_of_exemplar: dict, genes: GeneStore,
                   pseudogene_frac: float = 0.8,
                   locus_dominance: float = 0.65,
                   synteny_gap: int = 300, synteny_diff: float = 1.2,
-                  neighbor_check: bool = False,
+                  neighbor_check: bool = False, resplit_fn=None,
                   tail_frac: float = 0.9) -> Regions:
     """Documented tie-breaks, O(n^2) everywhere (no heap/bisect/bucket
     structures).  neighbor_check replicates the production synteny
     resolution (assign/greedy.py): when a group holds near-tied placements
     in one genome (best_score <= score * synteny_diff), the placement whose
     flanking claimed groups (within synteny_gap) agree with the group's
-    claimed neighbourhood consensus in other genomes is claimed first."""
+    claimed neighbourhood consensus in other genomes is claimed first.
+
+    resplit_fn(g, live_idx) -> labels|None replicates the production
+    loop's re-triggered paralog split: fires when a popped group is about
+    to claim >= 2 disjoint loci in one genome, relabels with the same
+    smallest-live-index-keeps-g rule, re-queues, at most once per group.
+    (Scope: the oracle's partition never subsamples; production
+    subsamples groups > 128 members — keep golden fixtures below that.)"""
     m = len(hits)
     grp = [int(group_of_exemplar[h.exemplar]) for h in hits]
 
@@ -440,7 +460,35 @@ def greedy_assign(hits: list, group_of_exemplar: dict, genes: GeneStore,
         return {int(cg) for (cs, ce, cg) in claimed.get(h.contig, [])
                 if ce >= lo and cs <= hi}
 
+    def _disjoint_multi_copy(per_genome):
+        """Same trigger as assign.greedy: some genome holds >= 2 mutually
+        non-overlapping viable placements."""
+        for _gm, lst in per_genome.items():
+            if len(lst) < 2:
+                continue
+            nonov = [lst[0]]
+            for i in lst[1:]:
+                h = hits[i]
+                ln = h.end - h.start + 1
+                ok = True
+                for j in nonov:
+                    hj = hits[j]
+                    if h.contig != hj.contig:
+                        continue
+                    ov = max(0, min(h.end, hj.end)
+                             - max(h.start, hj.start) + 1)
+                    if ov > overlap_frac * min(ln, hj.end - hj.start + 1):
+                        ok = False
+                        break
+                if ok:
+                    nonov.append(i)
+                if len(nonov) >= 2:
+                    return True
+        return False
+
     groups = sorted(set(grp[i] for i in live))
+    next_label = (max(groups) + 1) if groups else 0
+    resplit_tried: set = set()
     while True:
         scores = [(group_score(g), g) for g in groups]
         scores = [(s, g) for (s, g) in scores if s > 0]
@@ -455,6 +503,29 @@ def greedy_assign(hits: list, group_of_exemplar: dict, genes: GeneStore,
         for i in cand:
             if viable(i):
                 per_genome.setdefault(int(hits[i].genome), []).append(i)
+        if (resplit_fn is not None and g not in resplit_tried
+                and _disjoint_multi_copy(per_genome)):
+            # the reference loop's re-triggered paralog split (same
+            # relabel rule as assign.greedy: the sublabel of the smallest
+            # live hit index keeps g, the rest get fresh labels in
+            # first-occurrence order; each group re-splits at most once)
+            resplit_tried.add(g)
+            live_g = sorted(i for i in live
+                            if grp[i] == g and not taken[i])
+            labels = resplit_fn(g, live_g)
+            if labels is not None and len(set(map(int, labels))) > 1:
+                label_of: dict = {}
+                for pos, i in enumerate(live_g):
+                    sub = int(labels[pos])
+                    if sub not in label_of:
+                        label_of[sub] = (g if not label_of
+                                         else next_label
+                                         + len(label_of) - 1)
+                next_label += len(label_of) - 1
+                for pos, i in enumerate(live_g):
+                    grp[i] = label_of[int(labels[pos])]
+                groups = sorted(set(groups) | set(label_of.values()))
+                continue
         consensus: dict = {}
         if neighbor_check:
             for gm, lst in per_genome.items():
@@ -593,11 +664,40 @@ def run(genome_store: GenomeStore, gene_store: GeneStore, *,
                          stitch_gap=stitch_gap)
     group_of_exemplar = {int(e): int(group_root[int(e)])
                          for e in exemplar_ids}
+    resplit_fn = None
+    if paralog_split:
+        # the assignment loop's re-triggered split measures divergence on
+        # the POST-split labels (pipeline.py does the same): partition the
+        # claimed locus SEQUENCES with full-matrix DP distances +
+        # interpreter-loop NJ + the normative edge test
+        expect2, sigma2 = estimate_divergence(
+            gene_store, group_root, genome_store.n_genomes)
+
+        def resplit_fn(_g, live_idx):
+            if len(live_idx) <= 2:
+                return None
+            seqs, gens = [], []
+            for i in live_idx:
+                h = hits[i]
+                off = int(genome_store.contig_offset[h.contig])
+                seq = genome_store.tokens[off + h.start:off + h.end + 1]
+                if h.strand < 0:
+                    seq = alphabet.revcomp(seq)
+                seqs.append(seq)
+                gens.append(h.genome)
+            dm = _pair_distance_matrix(seqs)
+            comp = _tree_components(dm, np.asarray(gens), expect2, sigma2,
+                                    allowed_sigma)
+            lab: dict = {}
+            return np.asarray([lab.setdefault(c, len(lab)) for c in comp],
+                              np.int64)
+
     regions = greedy_assign(hits, group_of_exemplar, gene_store,
                             genome_store, pseudogene_frac=pseudogene_frac,
                             neighbor_check=neighbor_check,
                             synteny_gap=synteny_gap,
-                            synteny_diff=synteny_diff)
+                            synteny_diff=synteny_diff,
+                            resplit_fn=resplit_fn)
     return {"root": root, "exemplar": exemplar,
             "exemplar_ids": exemplar_ids, "group_root": group_root,
             "hits": hits, "regions": regions}

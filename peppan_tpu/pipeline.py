@@ -311,7 +311,8 @@ def _run_inner(paths: list, cfg: PipelineConfig,
                 phits = protein_map.map_missing_protein(
                     gene_store, genome_store, clusters.exemplar_ids,
                     missing, gtable=cfg.gtable,
-                    min_identity=cfg.protein_identity, batch=cfg.sw_batch)
+                    min_identity=cfg.protein_identity, batch=cfg.sw_batch,
+                    xdrop_floor=cfg.aa_xdrop_floor)
                 if len(phits):
                     log.info("protein_map recovered %d hits", len(phits))
                     map_hits = genome_map.MapHits.concat([map_hits, phits])
