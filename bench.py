@@ -3,7 +3,7 @@
 Primary metric (BASELINE.json:2 metric #1): Smith-Waterman cell-updates/s
 per chip for the banded engine (score mode, production batch shape
 P=4096), measured on the best available backend — the register-carry
-Pallas kernel (ops/kernels/banded_sw_v2.py, ~145 Gcells/s on v5e) with
+Pallas kernel (ops/kernels/banded_sw_v2.py, ~175 Gcells/s on v5e) with
 the XLA-scan engine (~80-90) as fallback.  Both are bit-equal
 (tests/unit/test_pallas_kernel.py).
 
