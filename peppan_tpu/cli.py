@@ -52,9 +52,11 @@ def _pan_parser(sub):
     p.add_argument("--xdrop_floor", type=int, default=34,
                    help="ungapped pre-extension floor before banded DP "
                         "(blastn analog; 0 disables)")
-    p.add_argument("--aa_xdrop_floor", type=int, default=15,
+    p.add_argument("--aa_xdrop_floor", type=int, default=0,
                    help="ungapped BLOSUM62 pre-extension floor for protein "
-                        "candidate windows (diamond analog; 0 disables)")
+                        "candidate windows (diamond analog; 0 = off, the "
+                        "default — Murphy-10 seeds can score 0, so any "
+                        "positive floor trades sensitivity for speed)")
     p.add_argument("--exhaustive_fallback", action="store_true",
                    help="blastn-grade windowed sweep for (genome, group) "
                         "combos with zero seeded candidates (slow, exact)")

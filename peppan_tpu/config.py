@@ -52,11 +52,15 @@ class PipelineConfig:
     #   seed) drops nothing, 0 disables the stage entirely
     nucl_only: bool = False             # --nucl : skip protein-level search
     protein_identity: float = 0.35      # AA identity floor (diamond stage)
-    aa_xdrop_floor: int = 15            # ungapped BLOSUM62 pre-extension
+    aa_xdrop_floor: int = 0             # ungapped BLOSUM62 pre-extension
     #   floor for protein candidate windows (diamond's seed-extension
-    #   stage; ops.protein_map docstring).  Murphy-10 7-mer seeds can
-    #   score as low as ~7 in true BLOSUM62, so this default only sheds
-    #   windows whose anchor neighbourhood carries no signal; 0 disables
+    #   stage; ops.protein_map docstring).  Default OFF: a Murphy-10
+    #   7-mer seed can score 0 in true BLOSUM62 (the EDNQ group's worst
+    #   within-group substitution scores 0), so NO positive floor is
+    #   exact — and the 100-genome ladder measured a real window anchor
+    #   at exactly 15, i.e. a floor there would clip the frameshift-
+    #   rescue path.  The DNA floor (xdrop_floor) stays on: its 13-mer
+    #   exact seed guarantees a 26 segment
     exhaustive_fallback: bool = False   # blastn-grade windowed sweep for
     #   (genome, group) combos that seeding left with zero candidates
     #   (parallel.seqtile); O(genome_len x gene_len) per combo, opt-in

@@ -78,11 +78,13 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
     xdrop_floor: DIAMOND's ungapped seed-extension stage (SURVEY §2.2
     diamond row) — each candidate window's best ungapped BLOSUM62
     segment along its chain-anchor diagonal (exact, vectorized Kadane)
-    must reach the floor or the window skips the banded DP.  0 disables.
-    Murphy-10 seeds are reduced-alphabet exact, so a 7-mer seed's true
-    BLOSUM62 diagonal score can be as low as ~7 — floors well above the
-    seed score are measured against the watermark counter
-    pmap_xdrop_min_kept before being made a default.
+    must reach the floor or the window skips the banded DP.  0 (the
+    default) disables: Murphy-10 seeds are reduced-alphabet exact, and
+    the EDNQ group's worst within-group substitution scores 0 in true
+    BLOSUM62, so a bare 7-mer seed can score 0 — no positive floor is
+    exact, and the 100-genome ladder measured a real kept anchor at
+    exactly 15 (watermark counter pmap_xdrop_min_kept), i.e. modest
+    floors already graze real windows.  Opt-in speed/sensitivity knob.
     """
     import time as _time
 
