@@ -86,6 +86,10 @@ def main(variants) -> None:
                     kw["defer_hmax"] = True
                 elif p == "fold":
                     kw["fold_shift"] = True
+                elif p == "derive":
+                    kw["derive_ts"] = True
+                elif p.startswith("u"):
+                    kw["loop_unroll"] = int(p[1:])
                 elif p.startswith("bp"):
                     kw["block_p"] = int(p[2:])
                 elif p.startswith("c"):

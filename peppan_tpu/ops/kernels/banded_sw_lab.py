@@ -32,7 +32,18 @@ Knobs:
       max/sub; the inserted boundary row becomes max(0 - open, NEG - ext)
       = -open (exact).  Same for the F side on odd parity.  Cross-lane
       shifts are one of the three named SOL gaps (BASELINE.md roofline
-      notes), so halving them is the structural experiment.
+      notes), so halving them is the structural experiment.  MEASURED
+      +20-36% on v5e 2026-08-20; promoted to banded_sw_v2.
+  derive_ts    incremental sequence tiles: instead of three unaligned
+      B-row extractions per double-step (qs, ts_odd, ts_even), extract
+      once at the chunk head and derive each subsequent tile by a
+      single-row shift-and-append (qs slides +1 row/step, ts slides -1;
+      ts_even(u) = ts_odd(u-1) exactly).  Targets the sequence-slice
+      address-generation gap; trades extraction work for longer SSA
+      chains on two extra live tiles.
+  loop_unroll  fori_loop unroll factor over chunks: fewer loop-boundary
+      carry spills per double-step without widening the per-chunk
+      sequence slices (chunk=16 did that and lost to register pressure).
 """
 
 from __future__ import annotations
@@ -51,7 +62,7 @@ NEG16 = -30000
 @functools.partial(jax.jit, static_argnames=(
     "match", "mismatch", "gap_open", "gap_extend", "band", "c0", "block_p",
     "chunk", "state_dtype", "token_dtype", "defer_hmax", "fold_shift",
-    "interpret"))
+    "derive_ts", "loop_unroll", "interpret"))
 def sw_banded_scores_lab(q: jax.Array, t: jax.Array, *,
                          match: int = 2, mismatch: int = -3,
                          gap_open: int = 5, gap_extend: int = 2,
@@ -61,6 +72,8 @@ def sw_banded_scores_lab(q: jax.Array, t: jax.Array, *,
                          token_dtype: str = "int32",
                          defer_hmax: bool = False,
                          fold_shift: bool = False,
+                         derive_ts: bool = False,
+                         loop_unroll: int = 1,
                          interpret: bool = False) -> jax.Array:
     """Score-only banded SW, variant-parameterized; bit-equal to
     ops.sw.sw_banded(score mode) for every knob combination (the int16
@@ -154,11 +167,27 @@ def sw_banded_scores_lab(q: jax.Array, t: jax.Array, *,
             tbase = pl.multiple_of(talign - c * chunk, chunk)
             qblk = q_ref[pl.ds(qbase, B + 2 * chunk), :]
             tblk = t_ref[pl.ds(tbase, B + 2 * chunk + 1), :]
+            toff0 = (x0base - talign)
+            qs = ts_odd = None
             for u in range(chunk):
-                qs = qblk[rq + u:rq + u + B, :]
-                toff = (x0base - talign) - u
-                ts_odd = tblk[toff:toff + B, :]
-                ts_even = tblk[toff + 1:toff + 1 + B, :]
+                toff = toff0 - u
+                if not derive_ts:
+                    qs = qblk[rq + u:rq + u + B, :]
+                    ts_odd = tblk[toff:toff + B, :]
+                    ts_even = tblk[toff + 1:toff + 1 + B, :]
+                elif u == 0:
+                    qs = qblk[rq:rq + B, :]
+                    ts_odd = tblk[toff0:toff0 + B, :]
+                    ts_even = tblk[toff0 + 1:toff0 + 1 + B, :]
+                else:
+                    # qs slides +1 query row per double-step; ts slides
+                    # -1; and this step's even tile IS last step's odd
+                    ts_even = ts_odd
+                    qs = jnp.concatenate(
+                        [qs[1:], qblk[rq + u + B - 1:rq + u + B, :]],
+                        axis=0)
+                    ts_odd = jnp.concatenate(
+                        [tblk[toff:toff + 1, :], ts_odd[:-1]], axis=0)
                 He, H1, E1, F1 = half(qs, ts_even, 0, H1, H2, E1, F1)
                 H2 = H1
                 H1 = He
@@ -172,7 +201,8 @@ def sw_banded_scores_lab(q: jax.Array, t: jax.Array, *,
             return (H1, H2, E1, F1, Hmax)
 
         init = (zero, zero, zero + neg, zero + neg, zero)
-        carry = jax.lax.fori_loop(0, Kpad // chunk, chunk_body, init)
+        carry = jax.lax.fori_loop(0, Kpad // chunk, chunk_body, init,
+                                  unroll=loop_unroll)
         out_ref[:] = carry[4].astype(jnp.int32)
 
     grid = (P // block_p,)

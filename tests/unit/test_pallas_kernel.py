@@ -137,6 +137,10 @@ def test_pallas_lab_matches_scan(rng, state, token):
         q, tp, band=B, block_p=8, state_dtype=state, token_dtype=token,
         fold_shift=True, defer_hmax=True, interpret=True))
     assert np.array_equal(ref, got3)
+    got4 = np.asarray(lab.sw_banded_scores_lab(
+        q, tp, band=B, block_p=8, state_dtype=state, token_dtype=token,
+        fold_shift=True, derive_ts=True, interpret=True))
+    assert np.array_equal(ref, got4)
 
 
 def test_pallas_lab_int16_guard(rng):
