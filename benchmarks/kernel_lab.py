@@ -73,6 +73,10 @@ def main(variants) -> None:
             ch = int(variant[len("pallas_v2_c"):])
             return lambda qq, tt: sw_banded_scores_pallas_v2(
                 qq, tt, band=B, chunk=ch)
+        if variant == "lanes":
+            from peppan_tpu.ops.kernels.banded_sw_lab import (
+                sw_banded_scores_lanes)
+            return lambda qq, tt: sw_banded_scores_lanes(qq, tt, band=B)
         if variant.startswith("lab_"):
             # lab_<state>_<token>[_defer][_bp<N>][_c<N>], e.g.
             # lab_i16_i8, lab_i32_i8, lab_i16_i16_defer, lab_i16_i8_bp256

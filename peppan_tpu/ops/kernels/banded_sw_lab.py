@@ -224,3 +224,147 @@ def sw_banded_scores_lab(q: jax.Array, t: jax.Array, *,
             transcendentals=0),
     )(qT, tT)
     return jnp.max(hmax_all, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "match", "mismatch", "gap_open", "gap_extend", "band", "c0", "interpret"))
+def sw_banded_scores_lanes(q: jax.Array, t: jax.Array, *,
+                           match: int = 2, mismatch: int = -3,
+                           gap_open: int = 5, gap_extend: int = 2,
+                           band: int = 128, c0: int = 0,
+                           interpret: bool = False) -> jax.Array:
+    """Band-on-LANES layout experiment (score mode, fold-shift form).
+
+    The v2 kernel puts the band on sublanes: every band shift crosses
+    vreg boundaries (16 vregs per (128,128) tile) and the three sequence
+    reads per double-step are unaligned SUBLANE slices.  Here the band
+    occupies the 128 LANES of a single (8, 128) vreg per 8 pairs:
+
+      - state tiles (H1, H2, E1, F1, Hmax) are ONE vreg each, so the
+        whole recurrence is register-resident per grid instance;
+      - the band shift is an in-vreg lane roll (pltpu.roll, axis=1) plus
+        a boundary overwrite — no cross-vreg carry chain;
+      - sequence windows slide one LANE per double-step.  Mosaic rejects
+        unaligned lane slices (the v1 dead-end note), so windows come
+        from ALIGNED (8, 384/512) loads once per 128 double-steps, a
+        carried +-8-lane roll per 8-step inner iteration, and a static
+        0..7-lane roll + aligned [:, :128] slice per step.
+
+    Grid: one instance per 8 pairs (P/8).  Bit-equal to
+    ops.sw.sw_banded(score mode) by the same geometry as v2.
+    """
+    if c0 % 2 != 0:
+        raise ValueError("c0 must be even")
+    if band != 128:
+        raise ValueError("lanes layout requires band == 128 (one vreg)")
+    P, Mq = q.shape
+    _, Mt = t.shape
+    B = band
+    BP = 8                     # pairs per grid instance (sublane quantum)
+    if P % BP:
+        raise ValueError(f"P={P} not a multiple of {BP}")
+    open_first = gap_open + gap_extend
+
+    D = Mq + Mt - 1
+    K = (D + 1) // 2
+    Kpad = ((K + 127) // 128) * 128
+    NC = Kpad // 128           # outer chunks of 128 double-steps
+
+    PADL = B // 2 + abs(c0) // 2 + 2
+    i0p0 = (-c0) // 2 - B // 2 + PADL
+    rq = i0p0 % 128
+    qalign = i0p0 - rq
+    wq_need = qalign + 128 * (NC - 1) + 384
+    qL = jnp.pad(q.astype(jnp.int32),
+                 ((0, 0), (PADL, max(0, wq_need - Mq - PADL))),
+                 constant_values=5)                    # (P, WqL)
+
+    trev = jnp.flip(t.astype(jnp.int32), axis=1)
+    x0_of = lambda d: Mt - 1 - d + ((d - c0) // 2 - B // 2)  # noqa: E731
+    PADT = max(0, -x0_of(2 * Kpad - 1)) + 16
+    x0base0 = Mt - 2 + PADT - c0 // 2 - B // 2
+    talign0 = x0base0 - (x0base0 % 128)
+    # left margin so the deepest chunk's aligned 512-lane load stays >= 0
+    extra = max(0, 128 * (NC - 1) + 256 - talign0)
+    extra = ((extra + 127) // 128) * 128
+    PADT += extra
+    x0base = x0base0 + extra
+    rt = x0base % 128
+    talign = x0base - rt
+    wt_need = talign + 256
+    tL = jnp.pad(trev, ((0, 0), (PADT, max(0, wt_need - Mt - PADT))),
+                 constant_values=6)                    # (P, WtL)
+    WqL = qL.shape[1]
+    WtL = tL.shape[1]
+
+    def kernel(q_ref, t_ref, out_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BP, B), 1)
+        first_lane = lane == 0
+        last_lane = lane == B - 1
+        zero = jnp.zeros((BP, B), jnp.int32)
+
+        def roll_l(x, o):
+            return pltpu.roll(x, shift=(-o) % x.shape[1], axis=1)
+
+        def half(qs, ts, parity, H1, H2, E1, F1, Hmax):
+            sv = jnp.where(qs == ts, match, mismatch)
+            ho = H1 - open_first
+            if parity == 0:
+                T = jnp.maximum(ho, E1 - gap_extend)
+                En = jnp.where(last_lane, -open_first, roll_l(T, 1))
+                Fn = jnp.maximum(ho, F1 - gap_extend)
+            else:
+                T = jnp.maximum(ho, F1 - gap_extend)
+                Fn = jnp.where(first_lane, -open_first, roll_l(T, -127))
+                En = jnp.maximum(ho, E1 - gap_extend)
+            dv = H2 + sv
+            Hn = jnp.maximum(jnp.maximum(dv, 0), jnp.maximum(En, Fn))
+            return Hn, H1, En, Fn, jnp.maximum(Hmax, Hn)
+
+        def chunk_body(c, carry):
+            H1, H2, E1, F1, Hmax = carry
+            qb = pl.multiple_of(qalign + 128 * c, 128)
+            tb = pl.multiple_of(talign - 128 * c - 256, 128)
+            ABq0 = q_ref[:, pl.ds(qb, 384)]
+            ABt0 = t_ref[:, pl.ds(tb, 512)]
+
+            def sub_body(s, sc):
+                ABq, ABt, H1, H2, E1, F1, Hmax = sc
+                for u in range(8):
+                    qs = roll_l(ABq, rq + u)[:, :128]
+                    ts_odd = roll_l(ABt, rt + 256 - u)[:, :128]
+                    ts_even = roll_l(ABt, rt + 257 - u)[:, :128]
+                    H1, H2, E1, F1, Hmax = half(qs, ts_even, 0,
+                                                H1, H2, E1, F1, Hmax)
+                    H1, H2, E1, F1, Hmax = half(qs, ts_odd, 1,
+                                                H1, H2, E1, F1, Hmax)
+                return (roll_l(ABq, 8), roll_l(ABt, -8),
+                        H1, H2, E1, F1, Hmax)
+
+            sc = jax.lax.fori_loop(
+                0, 16, sub_body, (ABq0, ABt0, H1, H2, E1, F1, Hmax))
+            return sc[2:]
+
+        init = (zero, zero, zero + NEG, zero + NEG, zero)
+        carry = jax.lax.fori_loop(0, NC, chunk_body, init)
+        out_ref[:] = carry[4]
+
+    grid = (P // BP,)
+    hmax = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BP, WqL), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BP, WtL), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BP, B), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, B), jnp.int32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=P * D * B * 10, bytes_accessed=P * (WqL + WtL) * 4,
+            transcendentals=0),
+    )(qL, tL)
+    return jnp.max(hmax, axis=1)
