@@ -315,7 +315,7 @@ def sw_banded_scores_lanes(q: jax.Array, t: jax.Array, *,
                 Fn = jnp.maximum(ho, F1 - gap_extend)
             else:
                 T = jnp.maximum(ho, F1 - gap_extend)
-                Fn = jnp.where(first_lane, -open_first, roll_l(T, -127))
+                Fn = jnp.where(first_lane, -open_first, roll_l(T, -1))
                 En = jnp.maximum(ho, E1 - gap_extend)
             dv = H2 + sv
             Hn = jnp.maximum(jnp.maximum(dv, 0), jnp.maximum(En, Fn))

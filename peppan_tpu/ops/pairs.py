@@ -196,25 +196,54 @@ def prefiltered_rows(hits: PairHits) -> np.ndarray:
 
 @dataclasses.dataclass(frozen=True)
 class Prefilter:
-    """Thresholds backing the two-pass score certificate.
+    """Thresholds backing the two-pass score certificates (both sides).
 
-    Soundness (one-sided): an alignment with identity >= min_identity
-    and spans qspan >= min_qcov*qlen, tspan >= min_tcov*tlen has
-    aln_len = L >= max(qspan, tspan), at least ceil(I*L) match columns
-    (+match each) and at most (1-I)*L non-match columns, each costing at
-    most pen = max(-mismatch, gap_open + gap_extend) (a mismatch, or a
+    FAIL side (round 3, one-sided): an alignment with identity >=
+    min_identity and qualifying coverage has aln_len = L >= Lmin, at
+    least ceil(I*L) match columns (+match each) and at most (1-I)*L
+    non-match columns, each costing at most
+    pen = max(-mismatch, gap_open + gap_extend) (a mismatch, or a
     length-1 gap paying open+extend; longer gaps amortize cheaper).  So
     its score >= (match*I - pen*(1-I)) * Lmin.  If the banded-SW maximum
     over the whole pair is below that floor, NO such alignment exists —
     in particular the reported max-score alignment fails the thresholds,
     and the pair's downstream decision is FAIL regardless of its exact
-    stats.  Certificates only prune (coef > 0 needs
-    I > pen/(match+pen), e.g. > 7/9 for 2/-3/5/2); below that
-    verify_pairs silently falls back to single-pass.
+    stats.  FAIL certificates only prune (coef > 0 needs
+    I > pen/(match+pen), e.g. > 7/9 for 2/-3/5/2); below that the FAIL
+    side is silently skipped.
+
+    PASS side (round 4, SURVEY §7.3.3 two-sided pruning): from the EXACT
+    maximum score S of pass 1, bounds on ANY maximum-score alignment:
+      - every column contributes at most +match, so matches m >= S/match;
+      - qspan >= m and tspan >= m (matches consume a position on each
+        side), so qcov >= (S/match)/qlen, tcov >= (S/match)/tlen, and
+        aln_len >= qspan >= S/match (for the --match_len escape);
+      - every column consumes >= 1 of the two sequences and each match
+        consumes 2, so L <= qlen + tlen - m <= qlen + tlen - S/match;
+      - every non-match column costs at least gap_extend (mismatch costs
+        -mismatch >= gap_extend for all production matrices — asserted),
+        so S <= match*m - gap_extend*(L - m), i.e.
+        identity = m/L >= (S/L + ext)/(match + ext), decreasing in L,
+        hence >= (S/Lmax + ext)/(match + ext).
+    If those lower bounds clear min_identity and the coverage rule, the
+    reported alignment is guaranteed to PASS — exact stats cannot change
+    the decision — and the stats DP is skipped.  Pass rows get sentinel
+    identity/qcov/tcov = 1.0 with matches = aln_len = 0, so every
+    downstream filter at THESE thresholds (or weaker) decides pass, and
+    prefiltered_rows() still flags them for consumers that need values
+    (e.g. cluster.split.estimate_divergence re-verifies them exactly).
+
+    cov_mode 'both' = both sequences must reach their floor (mmseqs
+    cov-mode 0, the cluster phase); 'max' = either side suffices
+    (PEPPAN's --match_prop on max(qcov, tcov), the similarity phase).
+    match_len > 0 adds the aln_len >= match_len coverage escape
+    (PEPPAN --match_len).
     """
     min_identity: float
     min_qcov: float
     min_tcov: float
+    cov_mode: str = "both"
+    match_len: int = 0
 
     def floors(self, qlen: np.ndarray, tlen: np.ndarray, *, match: int,
                mismatch: int, gap_open: int,
@@ -223,8 +252,41 @@ class Prefilter:
         coef = match * self.min_identity - pen * (1.0 - self.min_identity)
         if coef <= 0:
             return None
-        lmin = np.maximum(self.min_qcov * qlen, self.min_tcov * tlen)
+        if self.cov_mode == "both":
+            lmin = np.maximum(self.min_qcov * qlen, self.min_tcov * tlen)
+        else:   # 'max': either side qualifying -> the weaker bound rules
+            lmin = np.minimum(self.min_qcov * qlen, self.min_tcov * tlen)
+        if self.match_len > 0:
+            # aln_len >= match_len is an alternative qualifying route
+            lmin = np.minimum(lmin, float(self.match_len))
         return np.ceil(coef * lmin - 1e-6).astype(np.int32)
+
+    def pass_certified(self, qlen: np.ndarray, tlen: np.ndarray,
+                       score: np.ndarray, *, match: int, mismatch: int,
+                       gap_open: int, gap_extend: int) -> np.ndarray:
+        """bool[m]: rows whose pass-1 score PROVES the max-score
+        alignment passes (identity, coverage) — see class docstring.
+        Conservative: uncertifiable rows just fall through to stats."""
+        ext = gap_extend
+        if -mismatch < ext:
+            # the identity bound needs every non-match column to cost
+            # >= ext; not true for this matrix -> no pass certificates
+            return np.zeros(len(score), bool)
+        s = score.astype(np.float64)
+        m_lb = s / match
+        ql = qlen.astype(np.float64)
+        tl = tlen.astype(np.float64)
+        if self.cov_mode == "both":
+            cov_ok = (m_lb >= self.min_qcov * ql) \
+                & (m_lb >= self.min_tcov * tl)
+        else:
+            cov_ok = (m_lb >= self.min_qcov * ql) \
+                | (m_lb >= self.min_tcov * tl)
+        if self.match_len > 0:
+            cov_ok |= m_lb >= self.match_len
+        lmax = np.maximum(ql + tl - m_lb, 1.0)
+        id_lb = (s / lmax + ext) / (match + ext)
+        return (score > 0) & cov_ok & (id_lb >= self.min_identity + 1e-9)
 
 
 @functools.partial(jax.jit, static_argnames=("scorer", "gap_open",
@@ -298,6 +360,7 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
     runs own their placement; a stale single-host layout must not leak).
     """
     m = len(pairs)
+    pass_rows = np.zeros(m, bool)
     out_score = np.zeros(m, np.int32)
     out_match = np.zeros(m, np.int32)
     out_alen = np.zeros(m, np.int32)
@@ -372,10 +435,13 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
                                       mismatch=mismatch, gap_open=gap_open,
                                       gap_extend=gap_extend)
         todo = np.arange(m)
-        if floors is not None:
+        pass_rows = np.zeros(m, bool)
+        if prefilter is not None:
             # pass 1: score-only sweep over ALL pairs (Pallas score kernel
             # on TPU); pairs below their certificate floor are decided
-            # FAIL here and skip the (slower) stats pass entirely
+            # FAIL here, pairs whose score PROVES the thresholds are
+            # decided PASS (two-sided, round 4) — both skip the (slower)
+            # stats pass entirely
             launches1 = []
             i = 0
             while i < m:
@@ -411,8 +477,14 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
                     if launch_cache is not None:
                         launch_cache.store(lname, res1)
                 out_score[sel] = res1["score"]
-            todo = np.flatnonzero(out_score >= floors)
-            metrics.add("vp_prefiltered", m - len(todo))
+            alive = (out_score >= floors) if floors is not None \
+                else np.ones(m, bool)
+            pass_rows = alive & prefilter.pass_certified(
+                qlen, tlen, out_score, match=match, mismatch=mismatch,
+                gap_open=gap_open, gap_extend=gap_extend)
+            todo = np.flatnonzero(alive & ~pass_rows)
+            metrics.add("vp_prefiltered", int((~alive).sum()))
+            metrics.add("vp_pass_certified", int(pass_rows.sum()))
             metrics.add("sw_pairs", m)
 
         # pass 2 (or the only pass): full stats for surviving pairs
@@ -421,7 +493,7 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
         while i < len(todo):
             j = min(i + batch, len(todo))
             sel = todo[i:j]
-            lname = f"{launch_tag}v_{i}" if floors is not None \
+            lname = f"{launch_tag}v_{i}" if prefilter is not None \
                 else f"{launch_tag}_{i}"
             cached = (launch_cache.load(lname)
                       if launch_cache is not None else None)
@@ -441,7 +513,7 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
                 jax.block_until_ready(handle)
                 warmed.add(rows_padded)
             launches.append((sel, handle, lname))
-            if floors is None:
+            if prefilter is None:
                 metrics.add("sw_pairs", len(sel))
             metrics.add("sw_lane_cells",
                         rows_padded * (2 * width - 1) * band)
@@ -463,12 +535,22 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
             out_tspan[sel] = res["tend"] - res["tstart"] + 1
         metrics.add("vp_seconds", _time.perf_counter() - _t0)
     alen = np.maximum(out_alen, 1)
+    identity = (out_match / alen).astype(np.float32)
+    qcov = (out_qspan / np.maximum(qlen, 1)).astype(np.float32)
+    tcov = (out_tspan / np.maximum(tlen, 1)).astype(np.float32)
+    if pass_rows.any():
+        # PASS-certified sentinels: any threshold <= the certificate's
+        # decides pass; matches/aln_len stay 0 so prefiltered_rows()
+        # still flags these rows for value-consumers to re-verify
+        identity[pass_rows] = 1.0
+        qcov[pass_rows] = 1.0
+        tcov[pass_rows] = 1.0
     return PairHits(
         pairs=np.asarray(pairs, np.int32),
         score=out_score,
-        identity=(out_match / alen).astype(np.float32),
-        qcov=(out_qspan / np.maximum(qlen, 1)).astype(np.float32),
-        tcov=(out_tspan / np.maximum(tlen, 1)).astype(np.float32),
+        identity=identity,
+        qcov=qcov,
+        tcov=tcov,
         matches=out_match,
         aln_len=out_alen,
     )

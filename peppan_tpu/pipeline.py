@@ -67,10 +67,21 @@ def _similarity_groups(store: GeneStore, clusters: linclust.ClusterResult,
         table = prs.build_minimizer_table(sub, k=cfg.kmer, w=cfg.window)
         cand, _, _ = prs.candidate_pairs(table,
                                          max_group=cfg.max_minimizer_group)
+    # two-sided score certificate (round 4): at match_identity ~0.65 the
+    # FAIL side can't prune (coef < 0) but the PASS side certifies the
+    # high-identity mass (gapless pairs above ~0.8 identity) straight
+    # from pass-1 scores — only the twilight band pays the stats DP.
+    # Decision-exact: keep below tests identity/coverage at EXACTLY the
+    # certificate's thresholds (see ops.pairs.Prefilter docstring).
+    pf = (prs.Prefilter(min_identity=cfg.match_identity,
+                        min_qcov=cfg.match_prop, min_tcov=cfg.match_prop,
+                        cov_mode="max", match_len=cfg.match_len)
+          if cfg.score_prefilter and not cfg.shard_store else None)
     hits = prs.verify_pairs(sub, cand, band=cfg.band, batch=cfg.sw_batch,
                             gap_open=cfg.gap_open, gap_extend=cfg.gap_extend,
                             mesh=mesh, shard_store=cfg.shard_store,
-                            launch_cache=launch_cache, launch_tag="sim")
+                            launch_cache=launch_cache, launch_tag="sim",
+                            prefilter=pf)
     # an edge passes on aligned PROPORTION, or (--match_len) on absolute
     # aligned length — the long-gene escape hatch (SURVEY §5.6)
     cov_ok = np.maximum(hits.qcov, hits.tcov) >= cfg.match_prop

@@ -143,6 +143,42 @@ def test_pallas_lab_matches_scan(rng, state, token):
     assert np.array_equal(ref, got4)
 
 
+@pytest.mark.parametrize("Mq,Mt", [(128, 128), (200, 320)])
+def test_pallas_lanes_matches_scan(rng, Mq, Mt):
+    """Band-on-lanes kernel bit-equality, with INDEL-RICH pairs: the
+    round-3 lanes kernel shipped with roll_l(T, -127) in the parity-1 F
+    recurrence (reads T[i+1] instead of T[i-1]) which only wrong-scores
+    gap-rich inputs — gap-free pairs coincidentally pass (ADVICE.md r3).
+    This test inserts/deletes runs so that F-propagation across lanes
+    matters."""
+    from peppan_tpu.ops.kernels import banded_sw_lab as lab
+
+    P, B = 8, 128
+    q = rng.integers(0, 4, (P, Mq)).astype(np.int8)
+    t = np.empty((P, Mt), np.int8)
+    L = min(Mq, Mt)
+    for i in range(P):
+        # build t as q with substitutions plus an indel: delete a run
+        # from q then pad, so the best path needs a multi-lane gap
+        row = q[i, :L].copy()
+        m = rng.random(L) < 0.08
+        row[m] = (row[m] + 1) % 4
+        if i % 2 == 0:
+            cut = int(rng.integers(10, 30))
+            pos = int(rng.integers(5, L - cut - 5))
+            row = np.concatenate([row[:pos], row[pos + cut:],
+                                  rng.integers(0, 4, cut).astype(np.int8)])
+        t[i, :L] = row[:L]
+        if Mt > L:
+            t[i, L:] = rng.integers(0, 4, Mt - L).astype(np.int8)
+    tp = sw.prep_target_tokens(t)
+    ref = np.asarray(sw.sw_banded(q, tp, scorer=sw.dna_scorer(), band=B,
+                                  with_stats=False)["score"])
+    got = np.asarray(lab.sw_banded_scores_lanes(q, tp, band=B,
+                                                interpret=True))
+    assert np.array_equal(ref, got)
+
+
 def test_pallas_lab_int16_guard(rng):
     from peppan_tpu.ops.kernels import banded_sw_lab as lab
 
