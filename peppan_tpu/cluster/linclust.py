@@ -85,20 +85,14 @@ def cluster_genes(store: GeneStore, *, identity: float = 0.9,
     metrics.add("clu_t_dedup", _time.perf_counter() - _t)
     _t = _time.perf_counter()
 
-    table = prs.build_minimizer_table(sub, k=k, w=w, batch=batch)
     # linclust-style reductions: (a) only the m lowest-hash minimizers per
-    # gene seed the join (mmseqs linclust's per-sequence m-kmer subset);
+    # gene seed the join (mmseqs linclust's per-sequence m-kmer subset) —
+    # selected ON DEVICE inside the sketch launches (round 4; the round-3
+    # host path fetched every minimizer and lexsorted 68M rows at L4);
     # (b) each gene pairs only with its minimizer group's CENTER (longest
     # member) — transitivity comes from union-find, no all-pairs needed
-    if m_per_gene:
-        order = np.lexsort((table.hash, table.gene))
-        gpos = np.r_[True, table.gene[order][1:] != table.gene[order][:-1]]
-        rank = np.arange(len(order)) - np.maximum.accumulate(
-            np.where(gpos, np.arange(len(order)), 0))
-        keep_idx = np.sort(order[rank < m_per_gene])
-        table = prs.MinimizerTable(
-            table.hash[keep_idx], table.gene[keep_idx],
-            table.pos[keep_idx], table.strand[keep_idx])
+    table = prs.build_minimizer_table(sub, k=k, w=w, batch=batch,
+                                      m_per_gene=m_per_gene)
     cand = prs.candidate_center_pairs(table, sub.length)
     metrics.add("clu_t_seed", _time.perf_counter() - _t)
     _t = _time.perf_counter()

@@ -140,6 +140,52 @@ def sketch_flagged(tokens: np.ndarray, k: int = 15, w: int = 10) -> tuple:
     return rows, cols, v & np.uint32(0xFFFFFFFE), (v & 1).astype(bool)
 
 
+# --- top-m compacted sketch ---------------------------------------------------
+# linclust's per-sequence m-kmer subset (SURVEY §2.2 mmseqs row), selected
+# ON DEVICE: per row, the m minimizer occurrences with the smallest MASKED
+# hash (ties -> leftmost position, matching the host rank's stable
+# (hash, pos) order).  Replaces the round-3 host path (dense (P, L) sketch
+# fetch + 68M-row lexsort at L4, the measured clu_t_seed wall): the fetch
+# shrinks from L*4 to m*(4+4) bytes/row and every downstream host sort
+# runs on n_genes*m rows instead of all minimizer occurrences.
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w", "m"))
+def _sketch_topm_dev(tokens: jax.Array, k: int, w: int, m: int) -> tuple:
+    h, s = kmer_hashes(tokens, k)
+    f = minimizer_flags(h, w)
+    hm = h & np.uint32(0xFFFFFFFE)
+    packed = hm | s.astype(jnp.uint32)
+    # order-preserving signed view of the masked hash; non-minimizers get
+    # int32 max so they sort last (a real masked hash maps to at most
+    # 0x7FFFFFFE, so the sentinel is unambiguous)
+    key = jax.lax.bitcast_convert_type(hm ^ np.uint32(0x80000000),
+                                       jnp.int32)
+    key = jnp.where(f, key, jnp.int32(2 ** 31 - 1))
+    m = min(m, key.shape[1])
+    negk, idx = jax.lax.top_k(-key, m)   # m smallest; ties -> lower index
+    valid = negk != -(2 ** 31 - 1)
+    hsel = jnp.take_along_axis(packed, idx, axis=1)
+    hsel = jnp.where(valid, hsel, INVALID_HASH)
+    return hsel, idx.astype(jnp.int32)
+
+
+def sketch_topm(tokens: np.ndarray, k: int = 15, w: int = 10,
+                m: int = 20) -> tuple:
+    """(rows, cols, hash, strand) of each row's m smallest-hash minimizer
+    occurrences — bit-identical to ranking sketch_flagged's output by
+    (masked hash, position) per row and keeping rank < m."""
+    from ..utils.fetch import fetch_np
+    hsel, cols = _sketch_topm_dev(jnp.asarray(tokens), k, w, m)
+    hsel = fetch_np(hsel)
+    cols = fetch_np(cols)
+    valid = hsel != INVALID_HASH
+    rows, slot = np.nonzero(valid)
+    v = hsel[rows, slot]
+    return (rows, cols[rows, slot], v & np.uint32(0xFFFFFFFE),
+            (v & 1).astype(bool))
+
+
 # --- membership-filtered compacted sketch ------------------------------------
 # The tunnelled backend fetches ~16 MB/s, so the dense uint32[P, L] sketch
 # result (1 s per 512x8192 launch) dominates the sketch phases.  When the

@@ -49,8 +49,17 @@ def _pad_rows(n: int, batch: int) -> int:
 
 
 def build_minimizer_table(store: GeneStore, k: int = 13, w: int = 8,
-                          batch: int = 512) -> MinimizerTable:
-    """Sketch every gene (device, padded batches) -> host occurrence table."""
+                          batch: int = 512,
+                          m_per_gene: int = 0) -> MinimizerTable:
+    """Sketch every gene (device, padded batches) -> host occurrence table.
+
+    m_per_gene > 0 keeps only each gene's m smallest-hash minimizer
+    occurrences (linclust's per-sequence k-mer subset), selected ON
+    DEVICE via top_k (minimizers.sketch_topm) — bit-identical to the
+    round-3 host path (full table + per-gene (hash, pos) rank < m) but
+    with m*(4+4) fetch bytes/gene instead of the dense width*4 and host
+    sorts over n*m rows instead of every occurrence (the measured
+    clu_t_seed wall at 2000 genomes)."""
     n = store.n_genes
     if n == 0:
         z = np.zeros(0, np.uint32)
@@ -68,7 +77,11 @@ def build_minimizer_table(store: GeneStore, k: int = 13, w: int = 8,
         rows_padded = _pad_rows(j - i, batch)
         dense = np.full((rows_padded, width), alphabet.DNA_PAD, np.int8)
         dense[:j - i] = pad_to_dense(store, idx, width)
-        rows, cols, hv, sv = minimizers.sketch_flagged(dense, k, w)
+        if m_per_gene:
+            rows, cols, hv, sv = minimizers.sketch_topm(dense, k, w,
+                                                        m_per_gene)
+        else:
+            rows, cols, hv, sv = minimizers.sketch_flagged(dense, k, w)
         keep = rows < j - i
         rows, cols = rows[keep], cols[keep]
         hs.append(hv[keep])

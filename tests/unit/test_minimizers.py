@@ -191,3 +191,40 @@ def test_matched_sketch_aa_and_overflow(rng):
     assert metrics.snapshot().get("sketch_match_overflows", 0) == before + 1
     assert np.array_equal(r3, rr) and np.array_equal(c3, cc)
     assert np.array_equal(h3, hv)
+
+
+def test_sketch_topm_equals_host_rank(rng):
+    """Device top-m sketch (round 4, the clu_t_seed wall fix) must be
+    bit-identical to ranking the full sketch per row by (masked hash,
+    position) and keeping rank < m — including hash-tie boundaries and
+    rows with fewer than m minimizers."""
+    import numpy as np
+    from peppan_tpu.ops import minimizers as mz
+
+    toks = rng.integers(0, 4, (16, 700)).astype(np.int8)
+    toks[3, 100:] = 5          # short row: fewer minimizers than m
+    toks[5] = toks[4]          # duplicate rows -> identical selections
+    toks[7, :350] = toks[7, 350:]  # repeated half: forced hash ties
+    for m in (5, 20, 1000):    # 1000 > any row's minimizer count
+        rows, cols, hv, sv = mz.sketch_flagged(toks, 13, 8)
+        # host oracle: stable rank by (hash, pos) within each row
+        sel_r, sel_c, sel_h, sel_s = [], [], [], []
+        for r in range(16):
+            mask = rows == r
+            order = np.argsort(hv[mask], kind="stable")  # pos-asc stable
+            take = order[:m]
+            take.sort()
+            sel_r.append(np.full(len(take), r))
+            sel_c.append(cols[mask][take])
+            sel_h.append(hv[mask][take])
+            sel_s.append(sv[mask][take])
+        oracle = (np.concatenate(sel_r), np.concatenate(sel_c),
+                  np.concatenate(sel_h), np.concatenate(sel_s))
+        got = mz.sketch_topm(toks, 13, 8, m)
+        # topm returns hash-sorted order per row; canonicalize both sides
+        def canon(t):
+            r, c, h, s = t
+            o = np.lexsort((c, r))
+            return r[o], c[o], h[o], s[o]
+        for a, b in zip(canon(oracle), canon(got)):
+            assert np.array_equal(a, b)
