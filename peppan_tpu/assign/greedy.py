@@ -329,83 +329,159 @@ def greedy_assign(hits: MapHits, group_of_exemplar: dict, genes: GeneStore,
     metrics.add("assign_t_greedy", _time.perf_counter() - _t)
     _t = _time.perf_counter()
 
-    # --- status + annotated-gene matching ---------------------------------
+    # --- status + annotated-gene matching (vectorized, round 4) -----------
+    # The round-3 per-region python loop (token slice, certificate,
+    # numpy overlap pass PER REGION) was 89 s at the 2000-genome rung and
+    # linear in regions (verdict weak #4).  Same decision tree, computed
+    # as array passes: the gapless certificate and frame-0 stop scan are
+    # batched over concatenated region tokens (one gather + reduceat per
+    # chunk); only UNCERTIFIED regions fall to the per-region CIGAR
+    # traceback (rare: stitched fragments / indels / protein scores).
     idx = np.asarray(claim_order, dtype=np.int64)
     idx = idx[np.lexsort((hits.start[idx], hits.contig[idx],
                           hits.genome[idx]))]
-    status = np.empty(len(idx), dtype=object)
-    gene_idx = np.full(len(idx), -1, np.int64)
+    R = len(idx)
+    status = np.empty(R, dtype=object)
+    gene_idx = np.full(R, -1, np.int64)
+    disrupt_pos = np.full(R, -1, np.int64)
+    disrupted_arr = np.zeros(R, dtype=bool)
 
-    # index annotated genes by contig for vectorized overlap matching
-    genes_by_contig: dict = {}
-    _g_contig = np.asarray(genes.contig)
+    s_arr = np.asarray(hits.start, np.int64)[idx]
+    e_arr = np.asarray(hits.end, np.int64)[idx]
+    ln_arr = e_arr - s_arr + 1
+    ctg_arr = np.asarray(hits.contig, np.int64)[idx]
+    str_arr = np.asarray(hits.strand, np.int64)[idx]
+    ex_arr = np.asarray(hits.exemplar, np.int64)[idx]
+    sc_arr = np.asarray(hits.score, np.int64)[idx]
+    qcov_arr = np.asarray(hits.qcov)[idx]
+    stitched_arr = np.asarray(hits.stitched, bool)[idx]
+    qcov_ok = qcov_arr >= pseudogene_frac
+
+    # annotated-gene matching: genes sorted by (contig, start); per
+    # region, candidate genes have start in [s - len//4 - 2, e] (a gene
+    # matching needs ov >= 0.8*max(ln, glen), which bounds glen <=
+    # 1.25*ln and s - gstart <= 0.2*glen <= 0.25*ln) — then the same
+    # winner rule as the scalar pass: max thresholded overlap, ties to
+    # the smallest gene index.
+    _g_contig = np.asarray(genes.contig, np.int64)
     _g_start = np.asarray(genes.start, np.int64) - 1
     _g_end = np.asarray(genes.end, np.int64) - 1
-    for c in np.unique(_g_contig):
-        gis = np.flatnonzero(_g_contig == c)
-        genes_by_contig[int(c)] = (gis, _g_start[gis], _g_end[gis])
+    ng = len(_g_contig)
+    if ng and R:
+        gorder = np.lexsort((np.arange(ng), _g_start, _g_contig))
+        gs_key = ((_g_contig[gorder] << _COORD_BITS)
+                  | _g_start[gorder])
+        lo = np.maximum(s_arr - ln_arr // 4 - 2, 0)
+        lo_key = (ctg_arr << _COORD_BITS) | lo
+        hi_key = (ctg_arr << _COORD_BITS) | np.minimum(
+            e_arr, (1 << _COORD_BITS) - 1)
+        c_lo = np.searchsorted(gs_key, lo_key, side="left")
+        c_hi = np.searchsorted(gs_key, hi_key, side="right")
+        cnt = c_hi - c_lo
+        rep_r = np.repeat(np.arange(R), cnt)
+        flat = (np.repeat(c_lo, cnt) + np.arange(cnt.sum())
+                - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        gi = gorder[flat]
+        ov = (np.minimum(e_arr[rep_r], _g_end[gi])
+              - np.maximum(s_arr[rep_r], _g_start[gi]) + 1)
+        glen = _g_end[gi] - _g_start[gi] + 1
+        good = ov >= 0.8 * np.maximum(ln_arr[rep_r], glen)
+        NG_BITS = max(ng.bit_length() + 1, 21)
+        val = ((ov.astype(np.int64) << NG_BITS)
+               | ((1 << NG_BITS) - 1 - gi))
+        best = np.full(R, -1, np.int64)
+        np.maximum.at(best, rep_r[good], val[good])
+        hasg = best >= 0
+        gene_idx[hasg] = ((1 << NG_BITS) - 1
+                          - (best[hasg] & ((1 << NG_BITS) - 1)))
 
-    disrupt_pos = np.full(len(idx), -1, np.int64)
-    for row, i in enumerate(idx):
-        ex = int(hits.exemplar[i])
-        exl = int(exemplar_len[ex]) if exemplar_len \
-            else int(genes.length[ex])
-        s, e = int(hits.start[i]), int(hits.end[i])
-        ln = e - s + 1
-        qcov_ok = hits.qcov[i] >= pseudogene_frac
-        seq = genomes.tokens[
-            int(genomes.contig_offset[int(hits.contig[i])]) + s:
-            int(genomes.contig_offset[int(hits.contig[i])]) + e + 1]
-        if hits.strand[i] < 0:
+    # disruption decision tree (SURVEY §7.3.3 two-pass traceback; the
+    # CIGAR pass runs only where the cheap certificate cannot decide):
+    #   1. same-length full-coverage unstitched regions whose gapless
+    #      interpretation reaches the recorded SW score are certified
+    #      gapless (disrupt.gapless_certified semantics, batched): no
+    #      frameshift is possible and stops reduce to a frame-0 codon
+    #      scan — the overwhelmingly common case, O(L) not O(L^2);
+    #   2. everything else -> per-region CIGAR pass localizes
+    #      frameshifts / true-frame premature stops.
+    glen_ex = np.asarray(genes.length, np.int64)[ex_arr]
+    cert_cand = (qcov_ok & ~stitched_arr & (qcov_arr >= 1.0)
+                 & (glen_ex == ln_arr))
+    need_tb = qcov_ok & ~cert_cand
+    coff = np.asarray(genomes.contig_offset, np.int64)
+    tok = np.asarray(genomes.tokens)
+    comp = alphabet.DNA_COMPLEMENT
+    submat6 = alphabet.dna_score_matrix().astype(np.int64)
+    code_tbl = alphabet.genetic_code_table()
+    _BIG = np.int64(1) << 60
+    cand_rows = np.flatnonzero(cert_cand)
+    CHUNK = 8192
+    for c0_ in range(0, len(cand_rows), CHUNK):
+        rows = cand_rows[c0_:c0_ + CHUNK]
+        lens = ln_arr[rows]
+        total = int(lens.sum())
+        if total == 0:
+            continue
+        seg0 = np.cumsum(lens) - lens
+        intra = np.arange(total, dtype=np.int64) - np.repeat(seg0, lens)
+        base_f = coff[ctg_arr[rows]] + s_arr[rows]
+        base_r = coff[ctg_arr[rows]] + e_arr[rows]
+        str_rep = np.repeat(str_arr[rows], lens)
+        fwd = tok[np.repeat(base_f, lens) + intra]
+        rev = comp[tok[np.repeat(base_r, lens) - intra]]
+        seq_cat = np.where(str_rep > 0, fwd, rev).astype(np.int64)
+        ex_cat = tok_ex = genes.tokens[
+            np.repeat(np.asarray(genes.offset, np.int64)[ex_arr[rows]],
+                      lens) + intra].astype(np.int64)
+        gs = np.add.reduceat(submat6[ex_cat, seq_cat], seg0)
+        certified = gs == sc_arr[rows]
+        # frame-0 premature-stop scan for certified rows (scan_frame0
+        # semantics: codons 0,3,..., N-containing codons never count,
+        # a stop counts while codon end <= tail_frac * len)
+        lens_rep = np.repeat(lens, lens)
+        cid_ok = (intra % 3 == 0) & (intra + 2 < lens_rep)
+        gpos = np.arange(total, dtype=np.int64)
+        p1 = np.minimum(gpos + 1, total - 1)
+        p2 = np.minimum(gpos + 2, total - 1)
+        anyn = ((seq_cat >= 4) | (seq_cat[p1] >= 4)
+                | (seq_cat[p2] >= 4))
+        codon = 16 * seq_cat + 4 * seq_cat[p1] + seq_cat[p2]
+        is_stop = (cid_ok & ~anyn
+                   & (code_tbl[np.where(cid_ok & ~anyn, codon, 0)]
+                      == alphabet.AA_STOP)
+                   & (intra + 3 <= 0.9 * lens_rep))
+        pos = np.where(is_stop, intra, _BIG)
+        firstp = np.minimum.reduceat(pos, seg0)
+        has_stop = certified & (firstp < _BIG)
+        disrupted_arr[rows[has_stop]] = True
+        rr = rows[has_stop]
+        pp = firstp[has_stop]
+        disrupt_pos[rr] = np.where(str_arr[rr] > 0, s_arr[rr] + pp,
+                                   e_arr[rr] - pp)
+        need_tb[rows[~certified]] = True
+        del tok_ex
+
+    # per-region CIGAR pass for the uncertified remainder
+    for row in np.flatnonzero(need_tb):
+        ex = int(ex_arr[row])
+        s, e = int(s_arr[row]), int(e_arr[row])
+        off = int(coff[ctg_arr[row]])
+        seq = genomes.tokens[off + s: off + e + 1]
+        if str_arr[row] < 0:
             seq = alphabet.revcomp(seq)
-        # disruption decision tree (SURVEY §7.3.3 two-pass traceback; the
-        # CIGAR pass runs only where the cheap certificate cannot decide):
-        #   1. same-length full-coverage unstitched regions whose gapless
-        #      interpretation reaches the recorded SW score are certified
-        #      gapless (disrupt.gapless_certified): no frameshift is
-        #      possible and stops reduce to a frame-0 codon scan — this
-        #      is the overwhelmingly common case (substitution-only
-        #      homologs) and costs O(L) instead of O(L^2);
-        #   2. everything else (stitched fragments, indels, protein-path
-        #      scores) -> CIGAR pass localizes frameshifts / true-frame
-        #      premature stops.
-        disrupted = False
-        need_tb = True
-        exseq = None
-        if (qcov_ok and not bool(hits.stitched[i])
-                and float(hits.qcov[i]) >= 1.0):
-            exseq = genes.gene_tokens(ex)
-            if disrupt.gapless_certified(exseq, seq, int(hits.score[i])):
-                need_tb = False
-                p = disrupt.scan_frame0(seq)
-                disrupted = p >= 0
-                if disrupted:
-                    disrupt_pos[row] = (s + p if hits.strand[i] > 0
-                                        else e - p)
-        if need_tb and qcov_ok:
-            if exseq is None:
-                exseq = genes.gene_tokens(ex)
-            stats_tb, cigar = disrupt.region_traceback(exseq, seq)
-            d = disrupt.classify(stats_tb, cigar, exseq, seq)
-            disrupted = d.disrupted
-            if d.disrupted:
-                p = d.frameshift_pos if d.frameshift_pos >= 0 \
-                    else d.premature_stop_pos
-                # locus-local -> forward-strand genome coordinate
-                disrupt_pos[row] = (s + p if hits.strand[i] > 0 else e - p)
-        intact = qcov_ok and not disrupted
-        status[row] = "CDS" if intact else "pseudogene"
-        entry = genes_by_contig.get(int(hits.contig[i]))
-        if entry is not None:
-            gis, gstarts, gends = entry
-            ov = np.minimum(e, gends) - np.maximum(s, gstarts) + 1
-            need = 0.8 * np.maximum(ln, gends - gstarts + 1)
-            ov = np.where(ov >= need, ov, 0)
-            # same winner as the scalar loop it replaces: max overlap,
-            # FIRST gene index on ties (argmax returns first maximum)
-            j = int(np.argmax(ov))
-            if ov[j] > 0:
-                gene_idx[row] = int(gis[j])
+        exseq = genes.gene_tokens(ex)
+        stats_tb, cigar = disrupt.region_traceback(exseq, seq)
+        d = disrupt.classify(stats_tb, cigar, exseq, seq)
+        if d.disrupted:
+            disrupted_arr[row] = True
+            p = d.frameshift_pos if d.frameshift_pos >= 0 \
+                else d.premature_stop_pos
+            # locus-local -> forward-strand genome coordinate
+            disrupt_pos[row] = s + p if str_arr[row] > 0 else e - p
+
+    intact = qcov_ok & ~disrupted_arr
+    status[:] = "pseudogene"
+    status[intact] = "CDS"
     metrics.add("assign_t_status", _time.perf_counter() - _t)
     return Regions(
         group=hit_group[idx],

@@ -130,6 +130,35 @@ def translate(tokens: np.ndarray, table_id: int = 11) -> np.ndarray:
     return code[idx]
 
 
+def translate6(tokens: np.ndarray, table_id: int = 11) -> list:
+    """All six translation frames of one contig in ONE shared sweep.
+
+    Returns [aa_frame0, aa_frame1, aa_frame2, aa_rc0, aa_rc1, aa_rc2],
+    bit-identical to translate(tokens[f:]) / translate(revcomp(tokens)[f:])
+    but ~4x cheaper: the per-position codon indices (forward and
+    reversed-order) and the N/PAD mask are computed once over the contig,
+    and each frame is a strided view + one table gather.  The reverse
+    strand uses the complement identity  rc_codon_idx(p) = 63 -
+    rev_codon_idx(L-3-p)  (valid because complement(b) = 3 - b for real
+    bases; ambiguous windows are masked to codon 64 before it applies).
+    This is the pmap_t_sketch fix (round-3 verdict host-wall #2): the six
+    independent translate() calls per contig were ~30 s of the 2000-genome
+    protein-sketch phase."""
+    code = genetic_code_table(table_id)
+    L = len(tokens)
+    if L < 3:
+        return [np.zeros(0, np.int8) for _ in range(6)]
+    v = tokens.astype(np.int32)
+    bad3 = (v >= 4)
+    bad = bad3[:-2] | bad3[1:-1] | bad3[2:]
+    idx_f = 16 * v[:-2] + 4 * v[1:-1] + v[2:]
+    jdx = v[:-2] + 4 * v[1:-1] + 16 * v[2:]
+    idx_f = np.where(bad, 64, idx_f)
+    idx_rc = np.where(bad[::-1], 64, (63 - jdx)[::-1])
+    return ([code[idx_f[f::3]] for f in range(3)]
+            + [code[idx_rc[f::3]] for f in range(3)])
+
+
 # --- Scoring matrices --------------------------------------------------------
 
 def dna_score_matrix(match: int = 2, mismatch: int = -3) -> np.ndarray:

@@ -166,6 +166,38 @@ def _ungapped_best(score_rows: list) -> np.ndarray:
     return out
 
 
+def _ungapped_best_segmented(vals: np.ndarray,
+                             seg0: np.ndarray) -> np.ndarray:
+    """Best ungapped segment score per CONCATENATED segment (vectorized
+    segmented Kadane; bit-equal to _ungapped_best over the row list).
+
+    vals: int per-position substitution scores, segments starting at
+    seg0 (every segment non-empty).  max-subarray per segment = max_j
+    (cumsum_j - min prefix before j, floored at the segment start);
+    the segmented min-accumulate uses a per-segment -BIG offset so a
+    single global minimum.accumulate cannot leak across segments
+    (earlier segments sit at strictly larger offsets)."""
+    if len(seg0) == 0:
+        return np.zeros(0, np.int32)
+    n = len(vals)
+    seg_id = np.zeros(n, np.int64)
+    seg_id[seg0[1:]] = 1
+    seg_id = np.cumsum(seg_id)
+    c = np.cumsum(vals.astype(np.int64))
+    base_seg = np.concatenate([[np.int64(0)], c[seg0[1:] - 1]])
+    local_c = c - base_seg[seg_id]          # per-segment local cumsum
+    is_start = np.zeros(n, bool)
+    is_start[seg0] = True
+    P = np.empty(n, np.int64)
+    P[0] = 0
+    P[1:] = local_c[:-1]
+    P[is_start] = 0
+    _BIG = np.int64(1) << 40
+    m = np.minimum.accumulate(P - seg_id * _BIG)
+    minpref = m + seg_id * _BIG
+    return np.maximum.reduceat(local_c - minpref, seg0).astype(np.int32)
+
+
 def map_exemplars(genes: GeneStore, genomes: GenomeStore,
                   exemplar_ids: np.ndarray, index: GenomeIndex, *,
                   min_identity: float = 0.65, min_frag_len: int = 50,
@@ -261,32 +293,53 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
     keep &= (b - a) >= np.minimum(min_frag_len, L)
     if xdrop_floor > 0 and keep.any():
         # ungapped pre-extension on the anchor seed's diagonal (see
-        # docstring); exact substitution scores, vectorized Kadane
+        # docstring); exact substitution scores, fully vectorized: strip
+        # tokens for ALL candidates come from one concatenated gather
+        # (the round-3 per-candidate python slice+revcomp loop was part
+        # of the 78 s map_t_seed_chain wall at 2000 genomes), then a
+        # segmented Kadane pass scores every strip at once.
         kidx = np.flatnonzero(keep)
         dna = alphabet.dna_score_matrix().astype(np.int32)
-        score_rows = []
-        for i in map(int, kidx):
-            q = sub.gene_tokens(int(c_ex[i]))
-            t = genomes.contig_tokens(int(c_ct[i]))
-            Lc = int(clen[i])
-            if c_fwd[i]:
-                d = int(c_g[i]) - int(c_q[i])
-            else:
-                # rc-space diagonal: query j matches t_rc[d + j] where
-                # t_rc[x] = comp(t[Lc-1-x]) and the seed k-mer starts at
-                # rc position Lc - k - c_g
-                d = Lc - index.k - int(c_g[i]) - int(c_q[i])
-            j0 = max(0, -d)
-            j1 = min(len(q), Lc - d)
-            if j1 <= j0:
-                score_rows.append(np.full(1, -100, np.int32))
-                continue
-            if c_fwd[i]:
-                ts = t[d + j0:d + j1]
-            else:
-                ts = alphabet.revcomp(t[Lc - d - j1:Lc - d - j0])
-            score_rows.append(dna[q[j0:j1], ts])
-        best = _ungapped_best(score_rows)
+        comp = alphabet.DNA_COMPLEMENT
+        Lc_k = clen[kidx].astype(np.int64)
+        qlen_k = qlen_of[c_ex[kidx]].astype(np.int64)
+        fwd_k = c_fwd[kidx]
+        # rc-space diagonal: query j matches t_rc[d + j] where
+        # t_rc[x] = comp(t[Lc-1-x]) and the seed k-mer starts at
+        # rc position Lc - k - c_g
+        d_k = np.where(fwd_k,
+                       c_g[kidx].astype(np.int64) - c_q[kidx],
+                       Lc_k - index.k - c_g[kidx] - c_q[kidx])
+        j0 = np.maximum(0, -d_k)
+        j1 = np.minimum(qlen_k, Lc_k - d_k)
+        ns = np.maximum(j1 - j0, 0)
+        live = ns > 0
+        best = np.full(len(kidx), -100, np.int32)
+        if live.any():
+            li = np.flatnonzero(live)
+            lens = ns[li]
+            seg0 = np.cumsum(lens) - lens
+            intra = (np.arange(int(lens.sum()), dtype=np.int64)
+                     - np.repeat(seg0, lens))
+            sub_off = np.asarray(sub.offset, np.int64)
+            q_cat = sub.tokens[np.repeat(sub_off[c_ex[kidx[li]]]
+                                         + j0[li], lens) + intra]
+            coff = np.asarray(genomes.contig_offset, np.int64)
+            cbase = coff[c_ct[kidx[li]]]
+            # forward strip position d+j; reverse reads comp(t[Lc-1-d-j])
+            t_f = np.repeat(cbase + d_k[li] + j0[li], lens) + intra
+            t_r = (np.repeat(cbase + Lc_k[li] - 1 - d_k[li] - j0[li],
+                             lens) - intra)
+            fwd_rep = np.repeat(fwd_k[li], lens)
+            tok = np.asarray(genomes.tokens)
+            # indices are in range by construction (j0/j1 clamp to the
+            # strip's intersection with the contig); np.where still
+            # evaluates both gathers, so clamp the inactive side only
+            t_f = np.where(fwd_rep, t_f, 0)
+            t_r = np.where(fwd_rep, 0, t_r)
+            tv = np.where(fwd_rep, tok[t_f], comp[tok[t_r]])
+            best[li] = _ungapped_best_segmented(
+                dna[q_cat.astype(np.int64), tv.astype(np.int64)], seg0)
         weak = best < xdrop_floor
         if weak.any():
             metrics.add("map_xdrop_dropped", int(weak.sum()))

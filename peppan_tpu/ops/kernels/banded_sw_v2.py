@@ -32,6 +32,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = -(10 ** 6)
 CHUNK = 8  # double-steps per aligned load (sublane alignment quantum)
+# full-unroll cap: 128 steps covers the production pair buckets up to
+# ~1k-wide sequences (the bench shape) without minutes-scale Mosaic
+# compiles on the rare wide buckets (which keep the rolled loop)
+_FULL_UNROLL_MAX_STEPS = 128
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -130,7 +134,21 @@ def sw_banded_scores_pallas_v2(q: jax.Array, t: jax.Array, *,
             return (H1, H2, E1, F1, Hmax)
 
         init = (zero, zero, zero + NEG, zero + NEG, zero)
-        carry = jax.lax.fori_loop(0, Kpad // chunk, chunk_body, init)
+        # full unroll (round 4, measured): Mosaic's fori_loop supports
+        # only unroll 1 or num_steps; at num_steps the loop-carried tile
+        # spills at chunk boundaries disappear and the chunk loads get
+        # static offsets — median 189 vs 156 Gcell/s for the looped form
+        # across 5 paired tunnel sessions (BASELINE.md kernel-lab table).
+        # Capped to bound Mosaic compile time on wide buckets.
+        # (interpret mode keeps the rolled loop: XLA-CPU compile of the
+        # unrolled body is minutes-scale and adds no test coverage — the
+        # lab kernel's loop_unroll knob pins unrolled bit-equality at a
+        # small shape instead)
+        n_steps = Kpad // chunk
+        unroll = n_steps if (n_steps <= _FULL_UNROLL_MAX_STEPS
+                             and not interpret) else 1
+        carry = jax.lax.fori_loop(0, n_steps, chunk_body, init,
+                                  unroll=unroll)
         out_ref[:] = carry[4]
 
     grid = (P // block_p,)

@@ -43,14 +43,9 @@ _MIN_SUBFRAG_AA = 8
 
 
 def _frame_rows(contig: np.ndarray, gtable: int) -> list:
-    """[(frame_id 0..5, aa_tokens)] for one contig (0-2 fwd, 3-5 rc)."""
-    rc = alphabet.revcomp(contig)
-    out = []
-    for f in range(3):
-        out.append((f, alphabet.translate(contig[f:], gtable)))
-    for f in range(3):
-        out.append((3 + f, alphabet.translate(rc[f:], gtable)))
-    return out
+    """[(frame_id 0..5, aa_tokens)] for one contig (0-2 fwd, 3-5 rc).
+    One shared-sweep translate6 call (see io.alphabet.translate6)."""
+    return list(enumerate(alphabet.translate6(contig, gtable)))
 
 
 def _frame_one(contig: np.ndarray, fid: int, gtable: int) -> np.ndarray:
@@ -404,7 +399,8 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
                 qs = int(res["qstart"][ri])
                 qe = int(res["qend"][ri])
                 span = qe - qs + 1
-                if ident < min_identity or span < _MIN_SUBFRAG_AA:
+                if (ident < min_identity
+                        or span < min(min_frag_aa, _MIN_SUBFRAG_AA)):
                     continue
                 Laa = int(aa_store.length[row])
                 # AA window coords -> frame coords -> fwd nucl coords

@@ -81,3 +81,22 @@ def test_dna_score_matrix():
 def test_aa_roundtrip():
     s = "MKLVX*"
     assert ab.decode_aa(ab.encode_aa(s)) == s
+
+
+def test_translate6_matches_per_frame_translate(rng):
+    """translate6's shared-sweep frames (incl. the 63 - rev_codon_idx
+    reverse-strand identity and N masking) must be bit-identical to the
+    six independent translate() calls, at every length mod 3."""
+    import numpy as np
+    from peppan_tpu.io import alphabet
+
+    for L in (0, 1, 2, 3, 7, 300, 301, 302):
+        t = rng.integers(0, 4, L).astype(np.int8)
+        if L > 10:
+            t[rng.integers(0, L, max(1, L // 20))] = 4
+        got = alphabet.translate6(t, 11)
+        rc = alphabet.revcomp(t)
+        want = ([alphabet.translate(t[f:], 11) for f in range(3)]
+                + [alphabet.translate(rc[f:], 11) for f in range(3)])
+        for f in range(6):
+            assert np.array_equal(got[f], want[f]), (L, f)

@@ -126,3 +126,195 @@ def test_greedy_assign_end_to_end_unchanged():
             ov = _overlap(a[0], a[1], b[0], b[1])
             la, lb = a[1] - a[0] + 1, b[1] - b[0] + 1
             assert ov <= 0.15 * min(la, lb) + 1e-9
+
+
+def _status_loop_oracle(hits, idx, genes, genomes, pseudogene_frac=0.8):
+    """The round-3 per-region status/gene-match loop, verbatim (the
+    vectorized pass in greedy_assign must be bit-identical)."""
+    from peppan_tpu.assign import disrupt
+    from peppan_tpu.io import alphabet
+
+    status = np.empty(len(idx), dtype=object)
+    gene_idx = np.full(len(idx), -1, np.int64)
+    disrupt_pos = np.full(len(idx), -1, np.int64)
+    genes_by_contig = {}
+    _g_contig = np.asarray(genes.contig)
+    _g_start = np.asarray(genes.start, np.int64) - 1
+    _g_end = np.asarray(genes.end, np.int64) - 1
+    for c in np.unique(_g_contig):
+        gis = np.flatnonzero(_g_contig == c)
+        genes_by_contig[int(c)] = (gis, _g_start[gis], _g_end[gis])
+    for row, i in enumerate(idx):
+        ex = int(hits.exemplar[i])
+        s, e = int(hits.start[i]), int(hits.end[i])
+        ln = e - s + 1
+        qcov_ok = hits.qcov[i] >= pseudogene_frac
+        seq = genomes.tokens[
+            int(genomes.contig_offset[int(hits.contig[i])]) + s:
+            int(genomes.contig_offset[int(hits.contig[i])]) + e + 1]
+        if hits.strand[i] < 0:
+            seq = alphabet.revcomp(seq)
+        disrupted = False
+        need_tb = True
+        exseq = None
+        if (qcov_ok and not bool(hits.stitched[i])
+                and float(hits.qcov[i]) >= 1.0):
+            exseq = genes.gene_tokens(ex)
+            if disrupt.gapless_certified(exseq, seq, int(hits.score[i])):
+                need_tb = False
+                p = disrupt.scan_frame0(seq)
+                disrupted = p >= 0
+                if disrupted:
+                    disrupt_pos[row] = (s + p if hits.strand[i] > 0
+                                        else e - p)
+        if need_tb and qcov_ok:
+            if exseq is None:
+                exseq = genes.gene_tokens(ex)
+            stats_tb, cigar = disrupt.region_traceback(exseq, seq)
+            d = disrupt.classify(stats_tb, cigar, exseq, seq)
+            disrupted = d.disrupted
+            if d.disrupted:
+                p = d.frameshift_pos if d.frameshift_pos >= 0 \
+                    else d.premature_stop_pos
+                disrupt_pos[row] = (s + p if hits.strand[i] > 0 else e - p)
+        status[row] = "CDS" if (qcov_ok and not disrupted) else "pseudogene"
+        entry = genes_by_contig.get(int(hits.contig[i]))
+        if entry is not None:
+            gis, gstarts, gends = entry
+            ov = np.minimum(e, gends) - np.maximum(s, gstarts) + 1
+            need = 0.8 * np.maximum(ln, gends - gstarts + 1)
+            ov = np.where(ov >= need, ov, 0)
+            j = int(np.argmax(ov))
+            if ov[j] > 0:
+                gene_idx[row] = int(gis[j])
+    return status, gene_idx, disrupt_pos
+
+
+def test_status_pass_matches_loop_oracle(rng):
+    """Engineered disruption zoo: intact, frame-0 stop (+/- strand), stop
+    past the tail cutoff, stop codon masked by N, in-frame deletion
+    (certificate fails -> traceback, NOT disrupted), 1-bp deletion
+    (frameshift via traceback), truncated low-coverage copy, plus random
+    annotated genes for the matching pass.  The vectorized status pass
+    must reproduce the round-3 scalar loop exactly."""
+    from peppan_tpu.io import alphabet
+
+    code = alphabet.genetic_code_table()
+    stop_codon = np.flatnonzero(code[:64] == alphabet.AA_STOP)[0]
+    sc = np.array([stop_codon // 16, (stop_codon // 4) % 4,
+                   stop_codon % 4], np.int8)
+
+    n_copies = 8
+    exlen = 300
+    gap = 37
+    ok_codons = np.flatnonzero(code[:64] != alphabet.AA_STOP)
+    exes, loci, quals = [], [], []
+    for ci in range(n_copies):
+        cods = ok_codons[rng.integers(0, len(ok_codons), exlen // 3)]
+        g = np.stack([cods // 16, (cods // 4) % 4, cods % 4],
+                     axis=1).ravel().astype(np.int8)
+        locus = g.copy()
+        qcov, stitched = 1.0, False
+        if ci == 1 or ci == 2:          # frame-0 stop mid-gene (+/-)
+            locus[90:93] = sc
+        elif ci == 3:                    # stop past the 0.9 tail cutoff
+            locus[exlen - 6:exlen - 3] = sc
+        elif ci == 4:                    # stop codon containing N
+            locus[90:93] = sc
+            locus[91] = 4
+        elif ci == 5:                    # in-frame 3-bp deletion
+            locus = np.concatenate([locus[:90], locus[93:]])
+        elif ci == 6:                    # 1-bp deletion -> frameshift
+            locus = np.concatenate([locus[:90], locus[91:]])
+        elif ci == 7:                    # truncated: low coverage
+            locus = locus[:100]
+            qcov = 100 / exlen
+        exes.append(g)
+        loci.append(locus)
+        quals.append(qcov)
+
+    # genome: loci back to back (strand -1 copies stored revcomp'd)
+    strands = np.array([1, 1, -1, 1, -1, 1, 1, 1], np.int8)
+    parts, starts = [], []
+    pos = 0
+    for ci, locus in enumerate(loci):
+        pad = rng.integers(0, 4, gap).astype(np.int8)
+        stored = locus if strands[ci] > 0 else alphabet.revcomp(locus)
+        parts += [pad, stored]
+        starts.append(pos + gap)
+        pos += gap + len(locus)
+    contig = np.concatenate(parts)
+
+    class _Genomes:
+        tokens = contig
+        contig_offset = np.asarray([0, len(contig)], np.int64)
+
+    ex_tokens = np.concatenate(exes)
+    offs = np.zeros(n_copies + 1, np.int64)
+    np.cumsum([len(x) for x in exes], out=offs[1:])
+
+    # annotated genes: one dead-on match, one near-miss, one tie pair
+    g_start = np.asarray([starts[0] + 1, starts[1] + 200,
+                          starts[2] + 1, starts[2] + 1], np.int64)
+    g_end = np.asarray([starts[0] + exlen, starts[1] + 260,
+                        starts[2] + exlen, starts[2] + exlen], np.int64)
+
+    class _Genes:
+        tokens = ex_tokens
+        offset = offs
+        length = np.full(n_copies, exlen, np.int64)
+        contig = np.zeros(4, np.int32)
+        start = g_start
+        end = g_end
+
+        def gene_tokens(self, i):
+            return ex_tokens[offs[i]:offs[i + 1]]
+
+    submat = alphabet.dna_score_matrix().astype(np.int64)
+    scores = []
+    for ci in range(n_copies):
+        if len(loci[ci]) == exlen:
+            scores.append(int(submat[exes[ci].astype(np.int64),
+                                     loci[ci].astype(np.int64)].sum()))
+        else:
+            scores.append(2 * len(loci[ci]))   # cert can't fire anyway
+    hits = MapHits(
+        exemplar=np.arange(n_copies, dtype=np.int32),
+        genome=np.zeros(n_copies, np.int32),
+        contig=np.zeros(n_copies, np.int32),
+        start=np.asarray(starts, np.int64),
+        end=np.asarray([starts[i] + len(loci[i]) - 1
+                        for i in range(n_copies)], np.int64),
+        strand=strands,
+        score=np.asarray(scores, np.int32),
+        identity=np.ones(n_copies, np.float32),
+        qcov=np.asarray(quals, np.float32),
+        stitched=np.zeros(n_copies, bool),
+    )
+    group_of = {i: i for i in range(n_copies)}
+    genes, genomes = _Genes(), _Genomes()
+    regions = greedy.greedy_assign(hits, group_of, genes, genomes)
+    # every copy wins its own region (disjoint loci)
+    assert len(regions) == n_copies
+    idx = np.asarray([int(np.flatnonzero(
+        regions.exemplar == i)[0]) for i in range(n_copies)])
+    # oracle over the hit rows in the regions' claim order
+    ordr = np.argsort(regions.start)
+    hit_rows = [int(np.flatnonzero(hits.start == regions.start[r])[0])
+                for r in ordr]
+    st_o, gi_o, dp_o = _status_loop_oracle(hits, hit_rows, genes, genomes)
+    assert list(regions.status[ordr]) == list(st_o)
+    np.testing.assert_array_equal(regions.gene_idx[ordr], gi_o)
+    np.testing.assert_array_equal(regions.disrupt_pos[ordr], dp_o)
+    # spot-check semantics: the zoo behaves as designed
+    by_ex = {int(regions.exemplar[i]): i for i in range(n_copies)}
+    assert regions.status[by_ex[0]] == "CDS"
+    assert regions.status[by_ex[1]] == "pseudogene"      # + strand stop
+    assert regions.status[by_ex[2]] == "pseudogene"      # - strand stop
+    assert regions.status[by_ex[3]] == "CDS"             # stop past tail
+    assert regions.status[by_ex[4]] == "CDS"             # N masks stop
+    assert regions.status[by_ex[5]] == "CDS"             # in-frame del
+    assert regions.status[by_ex[6]] == "pseudogene"      # frameshift
+    assert regions.status[by_ex[7]] == "pseudogene"      # truncated
+    assert regions.disrupt_pos[by_ex[1]] == starts[1] + 90
+    assert regions.disrupt_pos[by_ex[2]] == hits.end[2] - 90

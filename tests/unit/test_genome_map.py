@@ -268,3 +268,26 @@ def test_xdrop_floor_drops_bare_seed_noise(tmp_path):
     for f in dc.fields(genome_map.MapHits):
         assert np.array_equal(getattr(h0, f.name),
                               getattr(h1, f.name)), f.name
+
+
+def test_ungapped_best_segmented_matches_list_kadane(rng):
+    """Segmented Kadane (round-4 X-drop vectorization) vs the padded
+    list-of-rows Kadane: bit-equal on adversarial segments (all-negative
+    rows, single elements, long alternating runs, segment boundaries
+    where the global cumsum dips below earlier segments)."""
+    from peppan_tpu.ops.genome_map import (_ungapped_best,
+                                           _ungapped_best_segmented)
+
+    rows = []
+    for _ in range(200):
+        n = int(rng.integers(1, 50))
+        r = rng.choice([-100, -3, 2, 2, 2], n).astype(np.int32)
+        rows.append(r)
+    rows.append(np.full(1, -100, np.int32))
+    rows.append(np.full(300, -3, np.int32))
+    rows.append(np.full(300, 2, np.int32))
+    want = _ungapped_best(rows)
+    lens = np.asarray([len(r) for r in rows])
+    seg0 = np.cumsum(lens) - lens
+    got = _ungapped_best_segmented(np.concatenate(rows), seg0)
+    assert np.array_equal(want, got)
