@@ -190,7 +190,13 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
         gctg = np.concatenate([p[1] for p in parts])
         gfid = np.concatenate([p[2] for p in parts])
         gposa = np.concatenate([p[3] for p in parts])
-        order = np.argsort(gh, kind="stable")
+        if len(gh) < (1 << 32):
+            packed = ((gh.astype(np.uint64) << np.uint64(32))
+                      | np.arange(len(gh), dtype=np.uint64))
+            packed.sort()          # stable argsort via one simd sort
+            order = (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        else:
+            order = np.argsort(gh, kind="stable")
         gh, gctg, gfid, gposa = (gh[order], gctg[order], gfid[order],
                                  gposa[order])
 

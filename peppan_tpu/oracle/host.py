@@ -19,8 +19,12 @@ Design rules:
   - shared with production ON PURPOSE: token/alphabet conventions and
     io.writers (formatting is not under test; decisions are).
 
-Scope: DNA path only (see above); the iterative re-split hook and the
-CIGAR disruption tree mirror assign/greedy semantics.
+Scope: phases 3-7 on the DNA rail by default; ``run(nucl_only=False)``
+(round 4) adds the protein rail — all-pairs full-matrix BLOSUM62 edges
+in the similarity phase and a naive 6-frame translated search for
+missing combos — mirroring where the production pipeline invokes its
+DIAMOND-analog stages.  The iterative re-split hook and the CIGAR
+disruption tree mirror assign/greedy semantics.
 """
 
 from __future__ import annotations
@@ -35,6 +39,7 @@ from ..ops import sw_oracle
 from ..assign.greedy import Regions
 
 DNA = alphabet.dna_score_matrix().astype(np.int32)
+BLOSUM = alphabet.blosum62_matrix().astype(np.int32)
 
 
 def _align(q: np.ndarray, t: np.ndarray, gap_open: int = 5,
@@ -100,12 +105,57 @@ def cluster(genes: GeneStore, *, identity: float = 0.9,
 
 # --- phase 4: similarity groups --------------------------------------------
 
+def _translate_gene(genes: GeneStore, g: int, gtable: int = 11) -> np.ndarray:
+    """Frame-0 AA tokens of a gene, trailing stop dropped — the oracle's
+    naive mirror of ops.protein.translate_genes per-gene semantics."""
+    aa = alphabet.translate(genes.gene_tokens(int(g)), gtable)
+    if len(aa) and aa[-1] == alphabet.AA_STOP:
+        aa = aa[:-1]
+    return aa
+
+
+def _align_aa(q: np.ndarray, t: np.ndarray, gap_open: int = 11,
+              gap_extend: int = 1):
+    """Full-matrix BLOSUM62 SW (stats + cigar), native or python."""
+    out = native.sw_traceback(q, t, BLOSUM, gap_open, gap_extend,
+                              n_real_tokens=20)
+    if out is not None:
+        return out
+    hit, cigar = sw_oracle.sw_traceback(q, t, BLOSUM, gap_open, gap_extend,
+                                        n_real_tokens=20)
+    return ({"score": hit.score, "qstart": hit.qstart, "qend": hit.qend,
+             "tstart": hit.tstart, "tend": hit.tend,
+             "matches": hit.matches, "aln_len": hit.aln_len}, cigar)
+
+
+def _murphy_kmers(aa: np.ndarray, k: int = 7) -> set:
+    """Set of Murphy-10 reduced k-mers (tuples) over valid windows."""
+    from ..ops.minimizers import MURPHY10
+    red = MURPHY10[np.clip(aa, 0, 31).astype(np.int64)]
+    out = set()
+    for i in range(len(red) - k + 1):
+        win = red[i:i + k]
+        if (win < 10).all():
+            out.add(bytes(win.tobytes()))
+    return out
+
+
 def similarity_groups(genes: GeneStore, exemplar: np.ndarray,
                       exemplar_ids: np.ndarray, *,
                       match_identity: float = 0.65,
                       match_prop: float = 0.5,
-                      match_len: int = 0) -> np.ndarray:
-    """Component root per gene after connecting exemplars that align."""
+                      match_len: int = 0,
+                      protein_identity: float | None = None,
+                      gtable: int = 11) -> np.ndarray:
+    """Component root per gene after connecting exemplars that align.
+
+    protein_identity (round 4, production: pipeline._similarity_groups +
+    ops.protein.protein_similar_pairs): when set, exemplar pairs whose
+    full-matrix BLOSUM62 alignment reaches that AA identity with
+    max-coverage >= match_prop also connect — the DIAMOND-equivalent
+    protein pass, all-pairs with no Murphy seeding or banding (oracle
+    edges ⊇ production's seeded ones; fixtures must keep decisions
+    decisive under either)."""
     n = genes.n_genes
     parent = list(range(n))
 
@@ -122,20 +172,34 @@ def similarity_groups(genes: GeneStore, exemplar: np.ndarray,
 
     ids = [int(e) for e in exemplar_ids]
     toks = {e: genes.gene_tokens(e) for e in ids}
+    aa = ({e: _translate_gene(genes, e, gtable) for e in ids}
+          if protein_identity is not None else None)
     for x in range(len(ids)):
         for y in range(x + 1, len(ids)):
             a, b = ids[x], ids[y]
             stats, _ = _align(toks[a], toks[b])
-            if stats["aln_len"] == 0:
-                continue
-            ident = stats["matches"] / stats["aln_len"]
-            qcov = (stats["qend"] - stats["qstart"] + 1) / len(toks[a])
-            tcov = (stats["tend"] - stats["tstart"] + 1) / len(toks[b])
-            cov_ok = max(qcov, tcov) >= match_prop
-            if match_len > 0 and stats["aln_len"] >= match_len:
-                cov_ok = True
-            if ident >= match_identity and cov_ok:
-                union(a, b)
+            joined = False
+            if stats["aln_len"] > 0:
+                ident = stats["matches"] / stats["aln_len"]
+                qcov = (stats["qend"] - stats["qstart"] + 1) / len(toks[a])
+                tcov = (stats["tend"] - stats["tstart"] + 1) / len(toks[b])
+                cov_ok = max(qcov, tcov) >= match_prop
+                if match_len > 0 and stats["aln_len"] >= match_len:
+                    cov_ok = True
+                if ident >= match_identity and cov_ok:
+                    union(a, b)
+                    joined = True
+            if aa is not None and not joined and len(aa[a]) and len(aa[b]):
+                pstats, _ = _align_aa(aa[a], aa[b])
+                if pstats["aln_len"] > 0:
+                    ident = pstats["matches"] / pstats["aln_len"]
+                    qcov = ((pstats["qend"] - pstats["qstart"] + 1)
+                            / len(aa[a]))
+                    tcov = ((pstats["tend"] - pstats["tstart"] + 1)
+                            / len(aa[b]))
+                    if (ident >= protein_identity
+                            and max(qcov, tcov) >= match_prop):
+                        union(a, b)
     for g in range(n):
         union(int(exemplar[g]), g)
     return np.array([find(g) for g in range(n)], np.int64)
@@ -335,7 +399,10 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
     run, and any such hit's alignment scores >= that segment's 26, so the
     masked-contig optimum stays >= 26 while any production-visible hit
     remains unmasked: the floor is EXACT w.r.t. the diff guarantee
-    (oracle decisions ⊇ production decisions), not a heuristic.  Without
+    (oracle decisions ⊇ production decisions) FOR SEEDED MAPPING — the
+    opt-in --exhaustive_fallback windowed sweep can surface hits with no
+    13-mer run, so diffs against exhaustive-fallback runs must plumb
+    min_hit_score=1 (round-3 advisor finding).  Not a heuristic.  Without
     it every non-homologous (exemplar, contig, strand) pair burned all
     max_hits_per_contig full-matrix DPs on ~25-scoring random best-hits
     whose spans never pass min_frag_len (measured: the 20-genome golden
@@ -374,10 +441,16 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
                         contig=ci, start=int(gs), end=int(ge),
                         strand=strand, score=int(stats["score"]),
                         identity=float(ident), qcov=span / max(L, 1)))
-    # dedup/stitch: same-exemplar fragments on one contig/strand within
-    # stitch_gap merge (same rule as ops.genome_map.dedup_and_stitch)
-    hits.sort(key=lambda h: (h.exemplar, h.contig, h.strand,
-                             h.start, -h.score))
+    return _stitch(hits)
+
+
+def _stitch(hits: list, stitch_gap: int = 300) -> list:
+    """Dedup/stitch: same-exemplar fragments on one contig/strand within
+    stitch_gap merge (same rule as ops.genome_map.dedup_and_stitch; the
+    pipeline re-applies it after concatenating protein-search hits, and
+    run() mirrors that on the oracle side)."""
+    hits = sorted(hits, key=lambda h: (h.exemplar, h.contig, h.strand,
+                                       h.start, -h.score))
     out: list = []
     for h in hits:
         if out:
@@ -404,6 +477,124 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
         out.append(dataclasses.replace(h))
     out.sort(key=lambda h: (h.genome, h.contig, h.start, h.exemplar))
     return out
+
+
+def map_exemplars_protein(genes: GeneStore, genomes: GenomeStore,
+                          exemplar_ids: np.ndarray,
+                          group_of_exemplar: dict, dna_hits: list, *,
+                          protein_identity: float = 0.35,
+                          min_frag_aa: int = 20, gtable: int = 11,
+                          match_score: int = 2,
+                          max_hits_per_frame: int = 16) -> list:
+    """Naive DIAMOND-vs-genome stage: 6-frame full-matrix BLOSUM62 search
+    for groups the DNA hit table left missing per genome (production:
+    pipeline._missing_combos + ops.protein_map.map_missing_protein).
+
+    Per missing (genome, group): the group's representative exemplar
+    (longest, then smallest id — _missing_combos' rule) aligns against
+    every translate6 frame of the genome's contigs with iterative
+    best-hit masking.  Fragments keep production's pass rules: AA
+    identity >= protein_identity, span >= min(min_frag_aa, 8), passing
+    alone at span >= min_frag_aa or via pooled union coverage of the
+    (contig, strand) group (>= min_frag_aa pooled, >= 8 AA marginal).
+    One deviation, documented: a fragment must share >= 1 Murphy-10
+    7-mer with the query (set membership, position-free) — a strict
+    SUPERSET of production's positional two-hit seeding, so it cannot
+    drop a production-visible fragment, but it keeps random ~35%-identity
+    full-matrix junk (which seedless search surfaces and seeded search
+    never sees) out of the pooled-coverage rescue.  Coordinates map to
+    forward-strand nucleotides and scores to nucleotide equivalents
+    (3 * match_score * AA matches) exactly as ops.protein_map does."""
+    ex_ids = [int(e) for e in exemplar_ids]
+    # per-group representative: longest, then smallest gene id
+    rep_of_group: dict = {}
+    for e in sorted(ex_ids,
+                    key=lambda e2: (-int(genes.length[e2]), e2)):
+        g = group_of_exemplar.get(int(e))
+        if g is not None and g >= 0:
+            rep_of_group.setdefault(int(g), int(e))
+    present: set = set()
+    for h in dna_hits:
+        g = group_of_exemplar.get(int(h.exemplar))
+        if g is not None and g >= 0:
+            present.add((int(h.genome), int(g)))
+    hits: list = []
+    for gm in range(genomes.n_genomes):
+        for grp in sorted(rep_of_group):
+            if (gm, grp) in present:
+                continue
+            e = rep_of_group[grp]
+            qaa = _translate_gene(genes, e, gtable)
+            Laa = len(qaa)
+            if Laa == 0:
+                continue
+            qkmers = _murphy_kmers(qaa)
+            frags = []   # (strand_grp, qs, qe, rec)
+            for ci in np.flatnonzero(
+                    np.asarray(genomes.contig_genome) == gm):
+                toks = genomes.contig_tokens(int(ci))
+                Lc = len(toks)
+                for fid, faa in enumerate(alphabet.translate6(toks,
+                                                              gtable)):
+                    t = faa.copy()
+                    for _ in range(max_hits_per_frame):
+                        stats, _ = _align_aa(qaa, t)
+                        if stats["score"] < 1 or stats["aln_len"] == 0:
+                            break
+                        ident = stats["matches"] / stats["aln_len"]
+                        qs, qe = stats["qstart"], stats["qend"]
+                        span = qe - qs + 1
+                        ts, te = stats["tstart"], stats["tend"]
+                        frag_aa = faa[ts:te + 1]
+                        t = t.copy()
+                        t[ts:te + 1] = alphabet.AA_X
+                        if ident < protein_identity:
+                            break
+                        if span < min(min_frag_aa, 8):
+                            continue
+                        if not (_murphy_kmers(frag_aa) & qkmers):
+                            continue
+                        f = fid % 3
+                        if fid < 3:
+                            ns, ne = 3 * ts + f, 3 * te + f + 2
+                            strand = 1
+                        else:
+                            ns = Lc - 3 - 3 * te - f
+                            ne = Lc - 1 - 3 * ts - f
+                            strand = -1
+                        ns, ne = max(0, ns), min(Lc - 1, ne)
+                        rec = OracleHit(
+                            exemplar=e, genome=gm, contig=int(ci),
+                            start=int(ns), end=int(ne), strand=strand,
+                            score=int(3 * match_score * stats["matches"]),
+                            identity=float(ident),
+                            qcov=span / max(Laa, 1))
+                        frags.append((int(ci), fid < 3, qs, qe, rec))
+            # pass 2: own span, or pooled (contig, strand-group) coverage
+            def _union(ivals):
+                tot, last_end = 0, -1
+                for (a, b) in sorted(ivals):
+                    if a > last_end:
+                        tot += b - a + 1
+                        last_end = b
+                    elif b > last_end:
+                        tot += b - last_end
+                        last_end = b
+                return tot
+
+            for (ci, sgrp, qs, qe, rec) in frags:
+                if qe - qs + 1 >= min_frag_aa:
+                    hits.append(rec)
+                    continue
+                ivals = [(a, b) for (c2, s2, a, b, _r) in frags
+                         if c2 == ci and s2 == sgrp]
+                others = [(a, b) for (c2, s2, a, b, r2) in frags
+                          if c2 == ci and s2 == sgrp and r2 is not rec]
+                pooled = _union(ivals)
+                if (pooled >= min_frag_aa
+                        and pooled - _union(others) >= 8):
+                    hits.append(rec)
+    return hits
 
 
 # --- phase 7: greedy assignment (naive scans) --------------------------------
@@ -658,14 +849,23 @@ def run(genome_store: GenomeStore, gene_store: GeneStore, *,
         stitch_gap: int = 300, pseudogene_frac: float = 0.8,
         paralog_split: bool = False, allowed_sigma: float = 3.0,
         neighbor_check: bool = False, synteny_gap: int = 300,
-        synteny_diff: float = 1.2) -> dict:
-    """Phases 3-7 end to end; returns the decision set for diffing."""
+        synteny_diff: float = 1.2, nucl_only: bool = True,
+        protein_identity: float = 0.35, min_frag_aa: int = 20,
+        gtable: int = 11) -> dict:
+    """Phases 3-7 end to end; returns the decision set for diffing.
+
+    nucl_only=False (round 4) adds the protein path on both rails the
+    production pipeline has it: all-pairs AA edges in the similarity
+    phase, and the naive 6-frame translated search + cross-method
+    stitch for missing (genome, group) combos before assignment."""
     root, exemplar, exemplar_ids = cluster(
         gene_store, identity=clust_identity, coverage=clust_match_prop)
     group_root = similarity_groups(
         gene_store, exemplar, exemplar_ids,
         match_identity=match_identity, match_prop=match_prop,
-        match_len=match_len)
+        match_len=match_len,
+        protein_identity=None if nucl_only else protein_identity,
+        gtable=gtable)
     if paralog_split:
         expect, sigma = estimate_divergence(
             gene_store, group_root, genome_store.n_genomes)
@@ -677,6 +877,13 @@ def run(genome_store: GenomeStore, gene_store: GeneStore, *,
                          stitch_gap=stitch_gap)
     group_of_exemplar = {int(e): int(group_root[int(e)])
                          for e in exemplar_ids}
+    if not nucl_only:
+        phits = map_exemplars_protein(
+            gene_store, genome_store, exemplar_ids, group_of_exemplar,
+            hits, protein_identity=protein_identity,
+            min_frag_aa=min_frag_aa, gtable=gtable)
+        if phits:
+            hits = _stitch(hits + phits, stitch_gap)
     resplit_fn = None
     if paralog_split:
         # the assignment loop's re-triggered split measures divergence on
