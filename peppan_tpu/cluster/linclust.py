@@ -102,8 +102,11 @@ def cluster_genes(store: GeneStore, *, identity: float = 0.9,
     # score-only pass and never pay the stats DP.  Exactness-preserving:
     # the cluster keep-filter below decides identically, and
     # estimate_divergence re-verifies any sentinel rows it consumes.
+    # FAIL-side only: these hits feed estimate_divergence, which consumes
+    # identity VALUES and re-verifies sentinels — PASS sentinels here
+    # would re-pay the skipped stats DP in the split phase (round 4)
     pf = (prs.Prefilter(min_identity=identity, min_qcov=coverage,
-                        min_tcov=coverage)
+                        min_tcov=coverage, two_sided=False)
           if score_prefilter and not shard_store else None)
     hits = prs.verify_pairs(sub, cand, band=band, batch=batch, mesh=mesh,
                             shard_store=shard_store,

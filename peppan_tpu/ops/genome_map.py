@@ -281,7 +281,28 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
     # seed (minimap2-lite; the reference's HSP chaining analog) ----------
     qlen_of = sub.length
     diag = np.where(rel, gpos - qpos_r, gpos + qpos_r)
-    order = np.lexsort((gpos, diag, rel, gcontig, ex_r))
+    # two-pass packed sort == lexsort((gpos, diag, rel, gcontig, ex_r))
+    # (the 5-key lexsort over the seed join was 26 s of map_t_seed_chain
+    # at the 100-genome rung).  LSD: unstable sort by the low keys
+    # (diag, gpos) — full-key ties are impossible (a (diag, gpos) pair
+    # fixes qpos, and (table row, index row) pairs are unique) — then a
+    # STABLE sort by the high keys (ex, contig, rel) via the packed
+    # simd np.sort-with-carried-index trick.
+    if (len(diag) < (1 << 26) and gpos.max() < (1 << 26)
+            and gcontig.max() < (1 << 18) and ex_r.max() < (1 << 19)):
+        kA = (((diag - diag.min()).astype(np.uint64) << np.uint64(26))
+              | gpos.astype(np.uint64))
+        o1 = np.argsort(kA)
+        kB = ((ex_r[o1].astype(np.uint64) << np.uint64(45))
+              | (gcontig[o1].astype(np.uint64) << np.uint64(27))
+              | (rel[o1].astype(np.uint64) << np.uint64(26))
+              | np.arange(len(o1), dtype=np.uint64))
+        kB.sort()
+        order = o1[(kB & np.uint64((1 << 26) - 1)).astype(np.int64)]
+    else:    # fields exceed the pack budget: plain lexsort
+        order = np.lexsort((gpos, diag, rel, gcontig, ex_r))
+    metrics.add("map_t_sort", _time.perf_counter() - _t)
+    metrics.add("map_seeds", len(order))
     exs, cts, rls = ex_r[order], gcontig[order], rel[order]
     dgs, gps, qps = diag[order], gpos[order], qpos_r[order]
     brk = np.ones(len(order), dtype=bool)
@@ -306,7 +327,12 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
     b = np.minimum(b, clen)
     keep &= (b - a) >= np.minimum(min_frag_len, L)
     probe_windows: set = set()
-    if xdrop_floor > 0 and keep.any():
+    _t_xd = _time.perf_counter()
+    # floors <= 26 provably drop nothing (the anchor diagonal contains
+    # the exact 13-mer seed scoring 26), so the Kadane pass only runs
+    # for lossy user floors — at the exact default it is a no-op
+    # (computing it anyway was 11 s at the 100-genome rung, round 4)
+    if xdrop_floor > 2 * index.k and keep.any():
         # ungapped pre-extension on the anchor seed's diagonal (see
         # docstring); exact substitution scores, fully vectorized: strip
         # tokens for ALL candidates come from one concatenated gather
@@ -377,6 +403,7 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
             keep[kidx[weak]] = False
         if (~weak).any():
             metrics.low("map_xdrop_min_kept", int(best[~weak].min()))
+    metrics.add("map_t_xdrop", _time.perf_counter() - _t_xd)
     cand_rows = sorted(set(
         (int(exemplar_ids[c_ex[i]]), int(c_ct[i]),
          1 if c_fwd[i] else -1, int(a[i]), int(b[i]))

@@ -352,7 +352,15 @@ def sw_banded_stats_pallas_v2(q: jax.Array, t: jax.Array, *,
         init = (zero, zero, zero + NEG, zero + NEG,
                 zero, zero, zero, zero, zero, zero, zero, zero,
                 zero, zero, zero)
-        st = jax.lax.fori_loop(0, Kpad // chunk, chunk_body, init)
+        # full unroll mirrors the score kernel's round-4 promotion: the
+        # 15 carried tiles spill at every rolled-loop boundary, which is
+        # exactly what the unroll removes (measured on-chip; see
+        # BASELINE.md kernel-lab table)
+        n_steps = Kpad // chunk
+        unroll = n_steps if (n_steps <= _FULL_UNROLL_MAX_STEPS
+                             and not interpret) else 1
+        st = jax.lax.fori_loop(0, n_steps, chunk_body, init,
+                               unroll=unroll)
         bsd_ref[:] = st[12]
         bsma_ref[:] = st[13]
         bsqt_ref[:] = st[14]

@@ -257,6 +257,12 @@ class Prefilter:
     min_tcov: float
     cov_mode: str = "both"
     match_len: int = 0
+    # PASS-side pruning is only a win when the caller consumes DECISIONS:
+    # cluster-phase hits feed cluster.split.estimate_divergence, which
+    # needs identity VALUES and re-verifies every sentinel row — pass
+    # sentinels there would just move the same stats DP into the split
+    # phase (measured +80k re-verified pairs at the 100-genome rung).
+    two_sided: bool = True
 
     def floors(self, qlen: np.ndarray, tlen: np.ndarray, *, match: int,
                mismatch: int, gap_open: int,
@@ -492,9 +498,10 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
                 out_score[sel] = res1["score"]
             alive = (out_score >= floors) if floors is not None \
                 else np.ones(m, bool)
-            pass_rows = alive & prefilter.pass_certified(
-                qlen, tlen, out_score, match=match, mismatch=mismatch,
-                gap_open=gap_open, gap_extend=gap_extend)
+            if prefilter.two_sided:
+                pass_rows = alive & prefilter.pass_certified(
+                    qlen, tlen, out_score, match=match, mismatch=mismatch,
+                    gap_open=gap_open, gap_extend=gap_extend)
             todo = np.flatnonzero(alive & ~pass_rows)
             metrics.add("vp_prefiltered", int((~alive).sum()))
             metrics.add("vp_pass_certified", int(pass_rows.sum()))
@@ -531,6 +538,8 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
             metrics.add("sw_lane_cells",
                         rows_padded * (2 * width - 1) * band)
             metrics.add("vp_cells_stats",
+                        rows_padded * (2 * width - 1) * band)
+            metrics.add(f"vp_cells_stats_{launch_tag}",
                         rows_padded * (2 * width - 1) * band)
             metrics.add("sw_launches", 1)
             i = j
