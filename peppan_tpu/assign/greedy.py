@@ -475,10 +475,14 @@ def greedy_assign(hits: MapHits, group_of_exemplar: dict, genes: GeneStore,
         need_tb[rows[~certified]] = True
         del tok_ex
 
-    # per-region CIGAR pass for the uncertified remainder
+    # per-region CIGAR pass for the uncertified remainder — threaded:
+    # the native pt_sw_traceback releases the GIL during the C call, so
+    # a small pool parallelizes the full-matrix DPs (1720 regions were
+    # ~12 s serial at the 500-genome rung)
     metrics.add("assign_tb_regions", int(need_tb.sum()))
     metrics.add("assign_t_status_batch", _time.perf_counter() - _t)
-    for row in np.flatnonzero(need_tb):
+
+    def _tb_one(row):
         ex = int(ex_arr[row])
         s, e = int(s_arr[row]), int(e_arr[row])
         off = int(coff[ctg_arr[row]])
@@ -494,6 +498,15 @@ def greedy_assign(hits: MapHits, group_of_exemplar: dict, genes: GeneStore,
                 else d.premature_stop_pos
             # locus-local -> forward-strand genome coordinate
             disrupt_pos[row] = s + p if str_arr[row] > 0 else e - p
+
+    tb_rows = np.flatnonzero(need_tb)
+    if len(tb_rows) > 8:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            list(pool.map(_tb_one, tb_rows))
+    else:
+        for row in tb_rows:
+            _tb_one(row)
 
     intact = qcov_ok & ~disrupted_arr
     status[:] = "pseudogene"

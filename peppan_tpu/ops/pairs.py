@@ -26,6 +26,7 @@ import numpy as np
 from ..io import alphabet
 from ..io.tokens import GeneStore, make_length_buckets, pad_to_dense
 from ..utils import metrics
+from ..utils.fetch import fetch_np
 from . import minimizers, sw
 
 
@@ -405,7 +406,7 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
                                          gap_extend=gap_extend, batch=batch)
             ki = {k: i for i, k in enumerate(sw.STATS_KEYS)}
             for sel, slots, handle in aligner(qidx, tidx):
-                packed = np.asarray(handle)
+                packed = fetch_np(handle)
                 out_score[sel] = packed[ki["score"], slots]
                 out_match[sel] = packed[ki["matches"], slots]
                 out_alen[sel] = packed[ki["aln_len"], slots]
@@ -492,7 +493,7 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
                 if isinstance(handle, dict):
                     res1 = handle
                 else:
-                    res1 = {"score": np.asarray(handle)[:len(sel)]}
+                    res1 = {"score": fetch_np(handle)[:len(sel)]}
                     if launch_cache is not None:
                         launch_cache.store(lname, res1)
                 out_score[sel] = res1["score"]
@@ -547,7 +548,7 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
             if isinstance(handle, dict):
                 res = handle           # resumed from the launch cache
             else:
-                res = sw.unpack_stats(np.asarray(handle), len(sel))
+                res = sw.unpack_stats(fetch_np(handle), len(sel))
                 if launch_cache is not None:
                     launch_cache.store(lname, res)
             out_score[sel] = res["score"]

@@ -130,27 +130,46 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
         bloom_dev = _jnp.asarray(minimizers.make_hash_bloom(
             qh_all, minimizers.BLOOM_BITS_AA))
 
-    def _flush():
-        if not buf_rows:
-            return
-        dense = np.full((sketch_rows, chunk), alphabet.AA_PAD, np.int8)
-        for i, r in enumerate(buf_rows):
-            dense[i, :len(r)] = r
-        if bloom_dev is not None:
-            rr, cc, hv = minimizers.aa_sketch_flagged_matched(
-                dense, bloom_dev, k=k, w=w)
-        else:
+    # ASYNC sketch pipeline (round 4): the per-flush device call used to
+    # launch AND fetch synchronously — ~150 ms tunnel latency per flush,
+    # 26 s of pmap_t_sketch at 500 genomes.  Launches now enqueue with a
+    # bounded in-flight window (memory: each pending entry keeps its
+    # dense buffer for the rare overflow refetch) and fetches drain
+    # behind the launch front.
+    import jax.numpy as _jnp
+    from ..utils.fetch import fetch_np
+    _DEPTH = 8
+    pending: list = []   # (handles|None, dense, metas)
+
+    def _drain_one():
+        handles, dense, metas = pending.pop(0)
+        nrows = len(metas)
+        if handles is None:
             rr, cc, hv = minimizers.aa_sketch_flagged(dense, k, w)
-        valid = rr < len(buf_rows)
+        else:
+            hsel, cols, counts = handles
+            counts = np.asarray(counts)
+            if (counts > 1024).any():
+                metrics.add("sketch_match_overflows", 1)
+                rr, cc, hv = minimizers.aa_sketch_flagged(dense, k, w)
+            else:
+                hsel = fetch_np(hsel)
+                cols = fetch_np(cols)
+                vmask = hsel != minimizers.INVALID_HASH
+                rr, slot = np.nonzero(vmask)
+                cc = cols[rr, slot]
+                hv = hsel[rr, slot]
+                metrics.add("sketch_match_rows", int(len(rr)))
+        valid = rr < nrows
         rr, cc, hv = rr[valid], cc[valid], hv[valid]
-        # per-ROW metadata as columnar arrays once, then vectorized gather —
-        # a python list-comp per MINIMIZER here was ~10^6 interpreter ops
-        # per flush (measured hotspot at 100+ genomes)
-        meta_g = np.asarray([m[0] for m in buf_meta], np.int64)
-        meta_c = np.asarray([m[1] for m in buf_meta], np.int32)
-        meta_f = np.asarray([m[2] for m in buf_meta], np.int8)
-        meta_s = np.asarray([m[3] for m in buf_meta], np.int64)
-        firsts = np.asarray([m[4] for m in buf_meta], bool)
+        # per-ROW metadata as columnar arrays once, then vectorized
+        # gather — a python list-comp per MINIMIZER here was ~10^6
+        # interpreter ops per flush (measured hotspot at 100+ genomes)
+        meta_g = np.asarray([m[0] for m in metas], np.int64)
+        meta_c = np.asarray([m[1] for m in metas], np.int32)
+        meta_f = np.asarray([m[2] for m in metas], np.int8)
+        meta_s = np.asarray([m[3] for m in metas], np.int64)
+        firsts = np.asarray([m[4] for m in metas], bool)
         keep = firsts[rr] | (cc >= overlap)
         rr, cc, hv = rr[keep], cc[keep], hv[keep]
         gx = meta_g[rr]
@@ -160,8 +179,24 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
         for g in np.unique(gx):
             m = gx == g
             per_g[int(g)].append((hv[m], ct[m], fd[m], ps[m]))
+
+    def _flush():
+        if not buf_rows:
+            return
+        dense = np.full((sketch_rows, chunk), alphabet.AA_PAD, np.int8)
+        for i, r in enumerate(buf_rows):
+            dense[i, :len(r)] = r
+        if bloom_dev is not None:
+            handles = minimizers._sketch_matched_dev(
+                _jnp.asarray(dense), bloom_dev, k=k, w=w, cap=1024,
+                bits=minimizers.BLOOM_BITS_AA, protein=True)
+        else:
+            handles = None
+        pending.append((handles, dense, list(buf_meta)))
         buf_meta.clear()
         buf_rows.clear()
+        if len(pending) > _DEPTH:
+            _drain_one()
 
     for gidx in sorted(queries):
         for ci in np.flatnonzero(
@@ -175,6 +210,8 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
                     if len(buf_rows) == sketch_rows:
                         _flush()
     _flush()
+    while pending:
+        _drain_one()
     metrics.add("pmap_t_sketch", _time.perf_counter() - _t)
     _t = _time.perf_counter()
 

@@ -17,7 +17,15 @@ CHUNK_BYTES = 256 << 20   # effectively off; see module docstring
 
 
 def fetch_np(x, chunk_bytes: int = CHUNK_BYTES) -> np.ndarray:
-    """np.asarray(x), sliced along axis 0 when above chunk_bytes."""
+    """np.asarray(x), sliced along axis 0 when above chunk_bytes.
+
+    Multi-process: an array sharded across processes is not fully
+    addressable and np.asarray would throw — gather it to every process
+    first (the §5.8 federated path; every host runs the same program, so
+    every host needs the same host-side values)."""
+    if not getattr(x, "is_fully_addressable", True):
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
     nbytes = x.nbytes
     if nbytes <= chunk_bytes or x.ndim == 0 or x.shape[0] <= 1:
         return np.asarray(x)
