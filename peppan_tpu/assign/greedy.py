@@ -426,6 +426,15 @@ def greedy_assign(hits: MapHits, group_of_exemplar: dict, genes: GeneStore,
     code_tbl = alphabet.genetic_code_table()
     _BIG = np.int64(1) << 60
     cand_rows = np.flatnonzero(cert_cand)
+    # equality-based certificate scoring: the DNA matrix is uniform
+    # (diag = match except N/N = mismatch, off-diag = mismatch, no PADs
+    # inside regions/genes), so the submat sum reduces to
+    # match*m - |mismatch|*(L - m) with m = count of real-base matches —
+    # one compare pass instead of a 2-D fancy-index gather
+    _match6 = int(submat6[0, 0])
+    _mis6 = int(submat6[0, 1])
+    goff = (np.asarray(genes.offset, np.int64) if len(cand_rows)
+            else None)
     CHUNK = 8192
     for c0_ in range(0, len(cand_rows), CHUNK):
         rows = cand_rows[c0_:c0_ + CHUNK]
@@ -440,40 +449,51 @@ def greedy_assign(hits: MapHits, group_of_exemplar: dict, genes: GeneStore,
                                                   e_arr[rows])
         sign = np.where(fwd_rows, 1, -1)
         gidx = np.repeat(base_sel, lens) + intra * np.repeat(sign, lens)
-        seq_cat = tok[gidx].astype(np.int64)
+        seq_cat = tok[gidx]
         rev_rep = np.repeat(~fwd_rows, lens)
         if rev_rep.any():
+            seq_cat = seq_cat.copy()
             seq_cat[rev_rep] = comp[seq_cat[rev_rep]]
-        ex_cat = tok_ex = genes.tokens[
-            np.repeat(np.asarray(genes.offset, np.int64)[ex_arr[rows]],
-                      lens) + intra].astype(np.int64)
-        gs = np.add.reduceat(submat6[ex_cat, seq_cat], seg0)
+        ex_cat = genes.tokens[np.repeat(goff[ex_arr[rows]], lens) + intra]
+        is_m = (ex_cat == seq_cat) & (ex_cat < 4)
+        nm = np.add.reduceat(is_m, seg0).astype(np.int64)
+        gs = _match6 * nm + _mis6 * (lens - nm)
         certified = gs == sc_arr[rows]
-        # frame-0 premature-stop scan for certified rows (scan_frame0
-        # semantics: codons 0,3,..., N-containing codons never count,
-        # a stop counts while codon end <= tail_frac * len)
-        lens_rep = np.repeat(lens, lens)
-        cid_ok = (intra % 3 == 0) & (intra + 2 < lens_rep)
-        gpos = np.arange(total, dtype=np.int64)
-        p1 = np.minimum(gpos + 1, total - 1)
-        p2 = np.minimum(gpos + 2, total - 1)
-        anyn = ((seq_cat >= 4) | (seq_cat[p1] >= 4)
-                | (seq_cat[p2] >= 4))
-        codon = 16 * seq_cat + 4 * seq_cat[p1] + seq_cat[p2]
-        is_stop = (cid_ok & ~anyn
-                   & (code_tbl[np.where(cid_ok & ~anyn, codon, 0)]
+        need_tb[rows[~certified]] = True
+        # frame-0 premature-stop scan for certified rows only, at CODON
+        # granularity (scan_frame0 semantics: codons 0,3,...,
+        # N-containing codons never count, a stop counts while its end
+        # stays within tail_frac of the region)
+        cl = np.flatnonzero(certified)
+        if len(cl) == 0:
+            continue
+        lens_c = lens[cl]
+        nc = lens_c // 3
+        ok = nc > 0
+        cl, lens_c, nc = cl[ok], lens_c[ok], nc[ok]
+        if len(cl) == 0:
+            continue
+        seg0c = np.cumsum(nc) - nc
+        totc = int(nc.sum())
+        ac = np.arange(totc, dtype=np.int64) - np.repeat(seg0c, nc)
+        bidx = np.repeat(seg0[cl], nc) + 3 * ac
+        b0 = seq_cat[bidx].astype(np.int32)
+        b1 = seq_cat[bidx + 1].astype(np.int32)
+        b2 = seq_cat[bidx + 2].astype(np.int32)
+        anyn = (b0 >= 4) | (b1 >= 4) | (b2 >= 4)
+        codon = 16 * b0 + 4 * b1 + b2
+        is_stop = (~anyn
+                   & (code_tbl[np.where(anyn, 0, codon)]
                       == alphabet.AA_STOP)
-                   & (intra + 3 <= 0.9 * lens_rep))
-        pos = np.where(is_stop, intra, _BIG)
-        firstp = np.minimum.reduceat(pos, seg0)
-        has_stop = certified & (firstp < _BIG)
-        disrupted_arr[rows[has_stop]] = True
-        rr = rows[has_stop]
-        pp = firstp[has_stop]
+                   & (3 * ac + 3 <= 0.9 * np.repeat(lens_c, nc)))
+        posc = np.where(is_stop, 3 * ac, _BIG)
+        firstp = np.minimum.reduceat(posc, seg0c)
+        hs = firstp < _BIG
+        rr = rows[cl[hs]]
+        pp = firstp[hs]
+        disrupted_arr[rr] = True
         disrupt_pos[rr] = np.where(str_arr[rr] > 0, s_arr[rr] + pp,
                                    e_arr[rr] - pp)
-        need_tb[rows[~certified]] = True
-        del tok_ex
 
     # per-region CIGAR pass for the uncertified remainder — threaded:
     # the native pt_sw_traceback releases the GIL during the C call, so

@@ -40,6 +40,9 @@ from .genome_map import MapHits
 # may ride a cluster whose pooled span passes min_frag_aa
 _FS_JUMP_NT = 96
 _MIN_SUBFRAG_AA = 8
+# async sketch pipeline depth (launches in flight before draining the
+# oldest); 0 = fully synchronous
+_SKETCH_DEPTH = 8
 
 
 def _frame_rows(contig: np.ndarray, gtable: int) -> list:
@@ -138,7 +141,6 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
     # behind the launch front.
     import jax.numpy as _jnp
     from ..utils.fetch import fetch_np
-    _DEPTH = 8
     pending: list = []   # (handles|None, dense, metas)
 
     def _drain_one():
@@ -195,7 +197,7 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
         pending.append((handles, dense, list(buf_meta)))
         buf_meta.clear()
         buf_rows.clear()
-        if len(pending) > _DEPTH:
+        if len(pending) > _SKETCH_DEPTH:
             _drain_one()
 
     for gidx in sorted(queries):
