@@ -114,3 +114,58 @@ def test_cli_selftest(tmp_path):
         capture_output=True, text=True, env=env, cwd="/root/repo")
     assert out.returncode == 0, out.stderr[-1500:]
     assert "PASS" in out.stdout
+
+
+def test_core_alignment_preserves_insertions(tmp_path):
+    """Center-star semantics (round-4 verdict missing #5): an allele's
+    in-frame insertion relative to the center allele must SURVIVE as
+    alignment columns (the old projection dropped it), with gap columns
+    in every other genome at that block."""
+    from peppan_tpu.io import alphabet
+
+    sim = simulate.simulate(n_genomes=4, n_core=8, n_accessory=0,
+                            mean_gene_codons=120, divergence=0.01,
+                            seed=91)
+    # insert a distinctive in-frame 9-mer into genome 1's copy of one
+    # core gene (strand +1 copies only, to keep the edit simple)
+    motif = alphabet.encode_dna("ACGTTGCAA")
+    target = None
+    for (c, s, e, st, gid) in sim.features[1]:
+        if st > 0:
+            target = (c, s, e, st, gid)
+            break
+    assert target is not None
+    c, s, e, st, gid = target
+    contig = sim.contigs[1][c]
+    at = s - 1 + 3 * (((e - s + 1) // 2) // 3)     # codon boundary
+    sim.contigs[1][c] = np.concatenate(
+        [contig[:at], motif, contig[at:]])
+    sim.features[1] = [
+        (c2, s2 if s2 <= at else s2 + 9,
+         (e2 + 9 if (c2 == c and s2 <= at < e2) else
+          (e2 if e2 <= at else e2 + 9)), st2, g2)
+        for (c2, s2, e2, st2, g2) in sim.features[1]]
+    paths = simulate.write_gff(sim, str(tmp_path / "gff"))
+    res = pipeline.run(paths, PipelineConfig(prefix="CI", sw_batch=4096),
+                       out_dir=str(tmp_path / "out"))
+    pan = post.read_pan_gff(res.outputs["gff"])
+    fa = str(tmp_path / "core.fasta")
+    snp = str(tmp_path / "core.snps")
+    ncore, _ = post.core_alignment(pan, paths, fa, snp, core_frac=0.95)
+    assert ncore >= 6
+    seqs = {}
+    name = None
+    for line in open(fa):
+        if line.startswith(">"):
+            name = line[1:].strip()
+            seqs[name] = ""
+        else:
+            seqs[name] += line.strip()
+    widths = {len(v) for v in seqs.values()}
+    assert len(widths) == 1
+    ins_row = seqs[sim.genome_names[1]]
+    pos = ins_row.find("ACGTTGCAA")
+    assert pos >= 0, "inserted bases were dropped from the alignment"
+    for gname, row in seqs.items():
+        if gname != sim.genome_names[1]:
+            assert "-" in row[pos:pos + 9], (gname, row[pos:pos + 9])
