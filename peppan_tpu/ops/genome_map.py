@@ -567,11 +567,15 @@ def exhaustive_missing(genes: GeneStore, genomes: GenomeStore,
             t = genes.gene_tokens(ex)[:qw]
             q[2 * i, :len(t)] = t
             q[2 * i + 1, :len(t)] = alphabet.revcomp(t)
+        metrics.add("exhaustive_combos", len(ex_ids))
         for ci in np.flatnonzero(
                 np.asarray(genomes.contig_genome) == genome):
             toks = genomes.contig_tokens(int(ci))
             wins = seqtile.window_long_target(toks, qw, band)
             metrics.add("sweep_windows", len(wins))
+            metrics.add("exhaustive_cells",
+                        nq_pad * len(wins) * (qw + wins.shape[1] - 1)
+                        * band)
             score, widx = seqtile.best_windows(
                 q, wins, band=band, gap_open=gap_open,
                 gap_extend=gap_extend, batch=batch, mesh=mesh)

@@ -242,6 +242,21 @@ def _sketch_matched_dev(tokens: jax.Array, bloom: jax.Array, *, k: int,
     return hsel, cols.astype(jnp.int32), counts
 
 
+def fetch_slots(cap: int, counts: np.ndarray) -> int:
+    """Slot count to FETCH for a compacted (rows, cap) result: the pow2
+    round-up of the observed per-row maximum (floor 64).  The device
+    compaction pads every row to `cap`, but fetching the full cap was
+    the measured wall at scale (cap 4096 * 512 rows * 8 B = 16.7 MB per
+    launch at ~16 MB/s through the tunnel, vs a typical row max of a few
+    hundred) — slicing on device costs one tiny cached compile per
+    distinct pow2."""
+    cmax = int(counts.max()) if len(counts) else 0
+    K = 64
+    while K < cmax:
+        K <<= 1
+    return min(K, cap)
+
+
 def _sketch_matched(tokens: np.ndarray, bloom_dev, *, k: int, w: int,
                     cap: int, bits: int, protein: bool) -> tuple | None:
     """(rows, cols, hash[, strand]) like the dense fetchers, or None when
@@ -255,8 +270,9 @@ def _sketch_matched(tokens: np.ndarray, bloom_dev, *, k: int, w: int,
     if (counts > cap).any():
         metrics.add("sketch_match_overflows", 1)
         return None
-    hsel = fetch_np(hsel)
-    cols = fetch_np(cols)
+    K = fetch_slots(cap, counts)
+    hsel = fetch_np(hsel[:, :K])
+    cols = fetch_np(cols[:, :K])
     valid = hsel != INVALID_HASH
     rows, slot = np.nonzero(valid)
     c = cols[rows, slot]

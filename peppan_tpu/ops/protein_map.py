@@ -155,8 +155,9 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
                 metrics.add("sketch_match_overflows", 1)
                 rr, cc, hv = minimizers.aa_sketch_flagged(dense, k, w)
             else:
-                hsel = fetch_np(hsel)
-                cols = fetch_np(cols)
+                K = minimizers.fetch_slots(1024, counts)
+                hsel = fetch_np(hsel[:, :K])
+                cols = fetch_np(cols[:, :K])
                 vmask = hsel != minimizers.INVALID_HASH
                 rr, slot = np.nonzero(vmask)
                 cc = cols[rr, slot]
