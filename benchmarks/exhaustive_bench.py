@@ -43,8 +43,14 @@ def main(json_path=None):
         cname, s, e, st, gid = sim.features[gnum][fidx]
         contig = sim.contigs[gnum][cname]
         copy = contig[s - 1:e].copy()
-        for p in range(0, len(copy), 12):
+        # DOUBLE-base barriers: a single barrier position can leak when
+        # the (unknown) exemplar's own ~2% divergence happens to match
+        # the mutant base, reopening a 13-run; two adjacent mutated
+        # positions make a leak need a coincidence squared (~5e-5/barrier)
+        for p in range(0, len(copy) - 1, 12):
             copy[p] = (int(copy[p]) + 1 + int(rng.integers(0, 3))) % 4
+            copy[p + 1] = (int(copy[p + 1]) + 1
+                           + int(rng.integers(0, 3))) % 4
         sim.contigs[gnum][cname] = np.concatenate(
             [contig[:s - 1], copy, contig[e:]])
         sim.features[gnum] = [f for f in sim.features[gnum] if f[4] != gid]
