@@ -39,8 +39,24 @@ def main(json_path=None):
     # different genomes' copies of three different core genes and drop
     # their annotations
     planted = []
+    fams = set(sim.truth.values())
+
+    def _pick(gnum, skip):
+        """First non-paralog-family feature: a paralog twin's locus keeps
+        the group 'present' (the exemplar cross-maps at ~0.8 identity),
+        so _missing_combos would never sweep a paralog-family gene."""
+        k = 0
+        for f in sim.features[gnum]:
+            fam = sim.truth[f[4]]
+            if "_par" in fam or (fam + "_par1") in fams:
+                continue
+            if k == skip:
+                return f
+            k += 1
+        raise RuntimeError("no candidate feature")
+
     for gnum, fidx in ((3, 0), (17, 1), (42, 2)):
-        cname, s, e, st, gid = sim.features[gnum][fidx]
+        cname, s, e, st, gid = _pick(gnum, fidx)
         contig = sim.contigs[gnum][cname]
         copy = contig[s - 1:e].copy()
         # DOUBLE-base barriers: a single barrier position can leak when

@@ -56,6 +56,11 @@ def main(variants) -> None:
             return lambda qq, tt: sw.sw_banded(
                 qq, tt, scorer=sw.dna_scorer(), band=B,
                 with_stats=True)["score"]
+        if variant.startswith("scan_stats_u"):   # e.g. scan_stats_u4
+            u = int(variant[len("scan_stats_u"):])
+            return lambda qq, tt: sw.sw_banded(
+                qq, tt, scorer=sw.dna_scorer(), band=B,
+                with_stats=True, unroll=u)["score"]
         if variant == "pallas_v1":
             return lambda qq, tt: sw_banded_scores_pallas(qq, tt, band=B)
         if variant == "pallas_v2":
