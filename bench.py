@@ -54,7 +54,11 @@ def _ladder_extras() -> dict:
             rows = json.load(open(path))
         except Exception:
             continue
+        if not isinstance(rows, list):
+            continue      # e.g. results_exhaustive_r4.json is a dict
         for row in rows:
+            if not isinstance(row, dict):
+                continue
             n = row.get("n_genomes")
             if n is None:
                 continue
@@ -119,11 +123,13 @@ def main() -> None:
     lane_cells = P * (2 * M - 1) * B
 
     def gcups_of(body) -> float:
-        # median of 3 slope measurements: a single tunnel stall in either
+        # median of 5 slope measurements: a single tunnel stall in either
         # chain skews one slope by +-50% (observed 140 / 144 / 220 on
-        # consecutive runs); the median of three is stable at ~140-155
+        # consecutive runs), and round-4 measured whole-SESSION variance
+        # of +-25% on identical binaries — five samples (~1 extra minute)
+        # buy two more chances to straddle a slow patch
         samples = []
-        for _ in range(3):
+        for _ in range(5):
             per_kernel = (time_chain(body, 3) - time_chain(body, 1)) / 2
             samples.append(lane_cells / per_kernel / 1e9)
         return float(np.median(samples))
