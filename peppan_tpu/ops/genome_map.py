@@ -81,17 +81,8 @@ def index_genomes(store: GenomeStore, *, k: int = 13, w: int = 8,
                                      chunk - overlap)):
             row_meta.append((ci, s, si == 0))
     hs, cs, ps, ss = [], [], [], []
-    for i0 in range(0, len(row_meta), rows_per_launch):
-        metas = row_meta[i0:i0 + rows_per_launch]
-        dense = np.full((len(metas), chunk), alphabet.DNA_PAD, np.int8)
-        for ri, (ci, s, _f) in enumerate(metas):
-            seg = store.contig_tokens(ci)[s:s + chunk]
-            dense[ri, :len(seg)] = seg
-        if bloom_dev is not None:
-            rr, cc, hv, sv = minimizers.sketch_flagged_matched(
-                dense, bloom_dev, k=k, w=w, cap=match_cap)
-        else:
-            rr, cc, hv, sv = minimizers.sketch_flagged(dense, k, w)
+
+    def _collect(metas, rr, cc, hv, sv):
         first = np.asarray([m[2] for m in metas], bool)
         starts_arr = np.asarray([m[1] for m in metas], np.int64)
         contig_arr = np.asarray([m[0] for m in metas], np.int32)
@@ -102,10 +93,39 @@ def index_genomes(store: GenomeStore, *, k: int = 13, w: int = 8,
         ss.append(sv[keep])
         ps.append(starts_arr[rr] + cc)
         cs.append(contig_arr[rr])
+
+    # the matched path pipelines launch/slice/decode so the three per-flush
+    # tunnel round trips overlap later flushes (round-4 map_t_index wall
+    # was exactly this loop run synchronously: ~620 ms per 512-row flush)
+    pipe = (minimizers.MatchedSketchPipeline(
+                bloom_dev, k=k, w=w, cap=match_cap,
+                bits=minimizers.BLOOM_BITS_DNA, protein=False)
+            if bloom_dev is not None else None)
+    for i0 in range(0, len(row_meta), rows_per_launch):
+        metas = row_meta[i0:i0 + rows_per_launch]
+        _tf = _time.perf_counter()
+        dense = np.full((len(metas), chunk), alphabet.DNA_PAD, np.int8)
+        for ri, (ci, s, _f) in enumerate(metas):
+            seg = store.contig_tokens(ci)[s:s + chunk]
+            dense[ri, :len(seg)] = seg
+        metrics.add("map_t_idx_fill", _time.perf_counter() - _tf)
+        _tf = _time.perf_counter()
+        if pipe is not None:
+            for ms, out in pipe.push(dense, metas):
+                _collect(ms, *out)
+        else:
+            _collect(metas, *minimizers.sketch_flagged(dense, k, w))
+        metrics.add("map_t_idx_pipe", _time.perf_counter() - _tf)
+    _tf = _time.perf_counter()
+    if pipe is not None:
+        for ms, out in pipe.finish():
+            _collect(ms, *out)
+    metrics.add("map_t_idx_pipe", _time.perf_counter() - _tf)
     h = np.concatenate(hs) if hs else np.zeros(0, np.uint32)
     c = np.concatenate(cs) if cs else np.zeros(0, np.int32)
     p = np.concatenate(ps) if ps else np.zeros(0, np.int64)
     s = np.concatenate(ss) if ss else np.zeros(0, bool)
+    _tf = _time.perf_counter()
     if len(h) < (1 << 32):
         # stable argsort via ONE simd np.sort on (hash << 32 | row):
         # numpy's u64 np.sort is ~15x its u32 stable argsort at the
@@ -116,6 +136,7 @@ def index_genomes(store: GenomeStore, *, k: int = 13, w: int = 8,
         order = (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)
     else:
         order = np.argsort(h, kind="stable")
+    metrics.add("map_t_idx_sort", _time.perf_counter() - _tf)
     metrics.add("map_t_index", _time.perf_counter() - _t)
     return GenomeIndex(h[order], c[order], p[order], s[order], k, w)
 
@@ -466,6 +487,8 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
             if (P, width) not in warmed:
                 jax.block_until_ready(handle)
                 warmed.add((P, width))
+            from ..utils.fetch import copy_async
+            copy_async(handle)
             launches.append((chunk_rows, handle, lname))
             metrics.add("sw_lane_cells", P * (qw_all + width - 1) * band)
             metrics.add("sw_launches", 1)

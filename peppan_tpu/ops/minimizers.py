@@ -219,6 +219,11 @@ def make_hash_bloom(hashes: np.ndarray, bits: int) -> np.ndarray:
 def _sketch_matched_dev(tokens: jax.Array, bloom: jax.Array, *, k: int,
                         w: int, cap: int, bits: int,
                         protein: bool) -> tuple:
+    """(packed int32[2, P, cap], counts int32[P]) — packed[0] is the
+    bitcast hash (INVALID_HASH slots marked), packed[1] the column.
+    Hash and column ride ONE array so the host fetch is a single
+    transfer (each synchronous round trip through the tunnel is
+    ~150 ms; the old (hsel, cols) pair cost two)."""
     if protein:
         h = aa_kmer_hashes(tokens, k)
         packed = h
@@ -239,7 +244,9 @@ def _sketch_matched_dev(tokens: jax.Array, bloom: jax.Array, *, k: int,
     hsel = jnp.take_along_axis(packed, safe, axis=1)
     hsel = jnp.where(cols <= L - 1, hsel, INVALID_HASH)
     counts = keep.sum(axis=1).astype(jnp.int32)
-    return hsel, cols.astype(jnp.int32), counts
+    out = jnp.stack([jax.lax.bitcast_convert_type(hsel, jnp.int32),
+                     cols.astype(jnp.int32)])
+    return out, counts
 
 
 def fetch_slots(cap: int, counts: np.ndarray) -> int:
@@ -257,30 +264,96 @@ def fetch_slots(cap: int, counts: np.ndarray) -> int:
     return min(K, cap)
 
 
-def _sketch_matched(tokens: np.ndarray, bloom_dev, *, k: int, w: int,
-                    cap: int, bits: int, protein: bool) -> tuple | None:
-    """(rows, cols, hash[, strand]) like the dense fetchers, or None when
-    some row overflowed `cap` (caller falls back to the dense path)."""
-    from ..utils import metrics
-    from ..utils.fetch import fetch_np
-    hsel, cols, counts = _sketch_matched_dev(
-        jnp.asarray(tokens), bloom_dev, k=k, w=w, cap=cap, bits=bits,
-        protein=protein)
-    counts = np.asarray(counts)
-    if (counts > cap).any():
-        metrics.add("sketch_match_overflows", 1)
-        return None
-    K = fetch_slots(cap, counts)
-    hsel = fetch_np(hsel[:, :K])
-    cols = fetch_np(cols[:, :K])
-    valid = hsel != INVALID_HASH
-    rows, slot = np.nonzero(valid)
-    c = cols[rows, slot]
-    v = hsel[rows, slot]
-    metrics.add("sketch_match_rows", int(len(rows)))
-    if protein:
-        return rows, c, v
-    return rows, c, v & np.uint32(0xFFFFFFFE), (v & 1).astype(bool)
+from ..utils.fetch import copy_async as _async_copy
+
+
+class MatchedSketchPipeline:
+    """Launch -> slice -> decode pipeline for matched sketches.
+
+    The tunnelled backend charges ~150 ms per synchronous device round
+    trip, and the synchronous drain paid three per 512-row flush (counts
+    fetch, then hash + column fetches) — measured as the round-4
+    pmap_t_sketch / map_t_index walls at 2000 genomes (154 s / 89 s).
+    This pipeline (a) moves hash+col in ONE packed transfer
+    (_sketch_matched_dev), (b) starts each transfer with
+    copy_to_host_async at the earliest stage that knows its shape, and
+    (c) runs the slice and decode stages `lag` flushes behind the launch
+    front so every round trip overlaps later flushes' compute/copies.
+
+    Results are bit-identical to the synchronous path: stage order per
+    flush is unchanged, and flushes whose row count overflows `cap` fall
+    back to the dense sketch of their kept buffer exactly as before.
+    """
+
+    def __init__(self, bloom_dev, *, k: int, w: int, cap: int, bits: int,
+                 protein: bool, lag: int = 4):
+        self.bloom = bloom_dev
+        self.k, self.w, self.cap, self.bits = k, w, cap, bits
+        self.protein = protein
+        self.lag = lag
+        self._launched: list = []   # (packed, counts, dense, meta)
+        self._sliced: list = []     # (slice | None, dense, meta)
+        self._done: list = []       # (meta, decoded tuple)
+
+    def push(self, dense: np.ndarray, meta=None) -> list:
+        """Enqueue one flush; returns any flushes that completed."""
+        packed, counts = _sketch_matched_dev(
+            jnp.asarray(dense), self.bloom, k=self.k, w=self.w,
+            cap=self.cap, bits=self.bits, protein=self.protein)
+        _async_copy(counts)
+        self._launched.append((packed, counts, dense, meta))
+        if len(self._launched) > self.lag:
+            self._slice_one()
+        if len(self._sliced) > self.lag:
+            self._decode_one()
+        out, self._done = self._done, []
+        return out
+
+    def finish(self) -> list:
+        """Drain every in-flight flush; returns the remaining results."""
+        while self._launched:
+            self._slice_one()
+        while self._sliced:
+            self._decode_one()
+        out, self._done = self._done, []
+        return out
+
+    def _slice_one(self) -> None:
+        from ..utils import metrics
+        packed, counts, dense, meta = self._launched.pop(0)
+        counts = np.asarray(counts)
+        if (counts > self.cap).any():
+            metrics.add("sketch_match_overflows", 1)
+            self._sliced.append((None, dense, meta))
+            return
+        sl = packed[:, :, :fetch_slots(self.cap, counts)]
+        _async_copy(sl)
+        self._sliced.append((sl, dense, meta))
+
+    def _decode_one(self) -> None:
+        from ..utils import metrics
+        sl, dense, meta = self._sliced.pop(0)
+        if sl is None:           # overflow: dense fallback, same as ever
+            if self.protein:
+                self._done.append((meta, aa_sketch_flagged(
+                    dense, self.k, self.w)))
+            else:
+                self._done.append((meta, sketch_flagged(
+                    dense, self.k, self.w)))
+            return
+        arr = np.asarray(sl)
+        hsel = arr[0].view(np.uint32)
+        cols = arr[1]
+        valid = hsel != INVALID_HASH
+        rows, slot = np.nonzero(valid)
+        c = cols[rows, slot]
+        v = hsel[rows, slot]
+        metrics.add("sketch_match_rows", int(len(rows)))
+        if self.protein:
+            self._done.append((meta, (rows, c, v)))
+        else:
+            self._done.append((meta, (rows, c, v & np.uint32(0xFFFFFFFE),
+                                      (v & 1).astype(bool))))
 
 
 def sketch_flagged_matched(tokens: np.ndarray, bloom_dev, *, k: int = 15,
@@ -289,10 +362,9 @@ def sketch_flagged_matched(tokens: np.ndarray, bloom_dev, *, k: int = 15,
     """DNA sketch restricted to minimizers whose hash top bits appear in
     the query bloom; exact w.r.t. any downstream equi-join on the query
     set (see module comment).  Falls back to sketch_flagged on overflow."""
-    out = _sketch_matched(tokens, bloom_dev, k=k, w=w, cap=cap, bits=bits,
-                          protein=False)
-    if out is None:
-        return sketch_flagged(tokens, k, w)
+    pipe = MatchedSketchPipeline(bloom_dev, k=k, w=w, cap=cap, bits=bits,
+                                 protein=False, lag=0)
+    (_, out), = pipe.push(np.asarray(tokens)) + pipe.finish()
     return out
 
 
@@ -300,10 +372,9 @@ def aa_sketch_flagged_matched(tokens: np.ndarray, bloom_dev, *, k: int = 7,
                               w: int = 6, cap: int = 1024,
                               bits: int = BLOOM_BITS_AA) -> tuple:
     """Protein counterpart of sketch_flagged_matched."""
-    out = _sketch_matched(tokens, bloom_dev, k=k, w=w, cap=cap, bits=bits,
-                          protein=True)
-    if out is None:
-        return aa_sketch_flagged(tokens, k, w)
+    pipe = MatchedSketchPipeline(bloom_dev, k=k, w=w, cap=cap, bits=bits,
+                                 protein=True, lag=0)
+    (_, out), = pipe.push(np.asarray(tokens)) + pipe.finish()
     return out
 
 

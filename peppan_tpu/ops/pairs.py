@@ -26,7 +26,7 @@ import numpy as np
 from ..io import alphabet
 from ..io.tokens import GeneStore, make_length_buckets, pad_to_dense
 from ..utils import metrics
-from ..utils.fetch import fetch_np
+from ..utils.fetch import copy_async, fetch_np
 from . import minimizers, sw
 
 
@@ -38,6 +38,18 @@ class MinimizerTable:
     gene: np.ndarray    # int32[n]
     pos: np.ndarray     # int32[n]
     strand: np.ndarray  # bool[n]
+
+
+def _eff_batch(n_rows: int, batch: int) -> int:
+    """Launch width for one verification pass.  Through the tunnel each
+    enqueued launch costs ~45-80 ms of dispatch latency regardless of
+    size (BASELINE.md round-4 launch-overhead paragraph: doubling the
+    batch at 91k pairs halved the launch count for -14% wall), so passes
+    with >= 8*batch rows use 2*batch-row launches; small passes keep the
+    configured width to avoid extra padded cells and new compile shapes.
+    The grid stays fixed (256 / batch / 2*batch) — outputs are
+    per-pair-independent, so batching never changes results."""
+    return batch * 2 if n_rows >= batch * 8 else batch
 
 
 def _pad_rows(n: int, batch: int) -> int:
@@ -463,9 +475,10 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
             # decided PASS (two-sided, round 4) — both skip the (slower)
             # stats pass entirely
             launches1 = []
+            eff1 = _eff_batch(m, batch)
             i = 0
             while i < m:
-                j = min(i + batch, m)
+                j = min(i + eff1, m)
                 sel = np.arange(i, j)
                 lname = f"{launch_tag}s_{i}"
                 cached = (launch_cache.load(lname)
@@ -474,7 +487,7 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
                     launches1.append((sel, cached, None))
                     i = j
                     continue
-                rows_padded = _pad_rows(len(sel), batch)
+                rows_padded = _pad_rows(len(sel), eff1)
                 qi, ti = put_idx(sel, rows_padded)
                 handle = _gather_scores(tokens_dev, qi, ti, scorer=scorer,
                                         gap_open=gap_open,
@@ -482,6 +495,7 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
                 if ("s", rows_padded) not in warmed:
                     jax.block_until_ready(handle)
                     warmed.add(("s", rows_padded))
+                copy_async(handle)
                 launches1.append((sel, handle, lname))
                 metrics.add("sw_lane_cells",
                             rows_padded * (2 * width - 1) * band)
@@ -510,9 +524,10 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
 
         # pass 2 (or the only pass): full stats for surviving pairs
         launches = []
+        eff2 = _eff_batch(len(todo), batch)
         i = 0
         while i < len(todo):
-            j = min(i + batch, len(todo))
+            j = min(i + eff2, len(todo))
             sel = todo[i:j]
             lname = f"{launch_tag}v_{i}" if prefilter is not None \
                 else f"{launch_tag}_{i}"
@@ -522,7 +537,7 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
                 launches.append((sel, cached, None))
                 i = j
                 continue
-            rows_padded = _pad_rows(len(sel), batch)
+            rows_padded = _pad_rows(len(sel), eff2)
             qi, ti = put_idx(sel, rows_padded)
             handle = _gather_align(tokens_dev, qi, ti, scorer=scorer,
                                    gap_open=gap_open,
@@ -533,6 +548,7 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
             if rows_padded not in warmed:
                 jax.block_until_ready(handle)
                 warmed.add(rows_padded)
+            copy_async(handle)
             launches.append((sel, handle, lname))
             if prefilter is None:
                 metrics.add("sw_pairs", len(sel))

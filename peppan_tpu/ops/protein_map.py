@@ -133,36 +133,18 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
         bloom_dev = _jnp.asarray(minimizers.make_hash_bloom(
             qh_all, minimizers.BLOOM_BITS_AA))
 
-    # ASYNC sketch pipeline (round 4): the per-flush device call used to
-    # launch AND fetch synchronously — ~150 ms tunnel latency per flush,
-    # 26 s of pmap_t_sketch at 500 genomes.  Launches now enqueue with a
-    # bounded in-flight window (memory: each pending entry keeps its
-    # dense buffer for the rare overflow refetch) and fetches drain
-    # behind the launch front.
-    import jax.numpy as _jnp
-    from ..utils.fetch import fetch_np
-    pending: list = []   # (handles|None, dense, metas)
+    # ASYNC sketch pipeline (round 4): launch, slice and decode stages run
+    # a bounded lag apart (minimizers.MatchedSketchPipeline) so the three
+    # per-flush tunnel round trips — counts, then the packed hash+col
+    # fetch — overlap later flushes' compute instead of serializing
+    # (~450 ms per 512-row flush measured synchronous).
+    pipe = (minimizers.MatchedSketchPipeline(
+                bloom_dev, k=k, w=w, cap=1024,
+                bits=minimizers.BLOOM_BITS_AA, protein=True,
+                lag=_SKETCH_DEPTH) if bloom_dev is not None else None)
 
-    def _drain_one():
-        handles, dense, metas = pending.pop(0)
+    def _consume(metas, rr, cc, hv):
         nrows = len(metas)
-        if handles is None:
-            rr, cc, hv = minimizers.aa_sketch_flagged(dense, k, w)
-        else:
-            hsel, cols, counts = handles
-            counts = np.asarray(counts)
-            if (counts > 1024).any():
-                metrics.add("sketch_match_overflows", 1)
-                rr, cc, hv = minimizers.aa_sketch_flagged(dense, k, w)
-            else:
-                K = minimizers.fetch_slots(1024, counts)
-                hsel = fetch_np(hsel[:, :K])
-                cols = fetch_np(cols[:, :K])
-                vmask = hsel != minimizers.INVALID_HASH
-                rr, slot = np.nonzero(vmask)
-                cc = cols[rr, slot]
-                hv = hsel[rr, slot]
-                metrics.add("sketch_match_rows", int(len(rr)))
         valid = rr < nrows
         rr, cc, hv = rr[valid], cc[valid], hv[valid]
         # per-ROW metadata as columnar arrays once, then vectorized
@@ -189,23 +171,23 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
         dense = np.full((sketch_rows, chunk), alphabet.AA_PAD, np.int8)
         for i, r in enumerate(buf_rows):
             dense[i, :len(r)] = r
-        if bloom_dev is not None:
-            handles = minimizers._sketch_matched_dev(
-                _jnp.asarray(dense), bloom_dev, k=k, w=w, cap=1024,
-                bits=minimizers.BLOOM_BITS_AA, protein=True)
-        else:
-            handles = None
-        pending.append((handles, dense, list(buf_meta)))
+        metas = list(buf_meta)
         buf_meta.clear()
         buf_rows.clear()
-        if len(pending) > _SKETCH_DEPTH:
-            _drain_one()
+        if pipe is not None:
+            for ms, out in pipe.push(dense, metas):
+                _consume(ms, *out)
+        else:
+            _consume(metas, *minimizers.aa_sketch_flagged(dense, k, w))
 
     for gidx in sorted(queries):
         for ci in np.flatnonzero(
                 np.asarray(genomes.contig_genome) == gidx):
             toks = genomes.contig_tokens(int(ci))
-            for (fid, aa) in _frame_rows(toks, gtable):
+            _ts = _time.perf_counter()
+            frames = _frame_rows(toks, gtable)
+            metrics.add("pmap_t_sk_translate", _time.perf_counter() - _ts)
+            for (fid, aa) in frames:
                 for si, s in enumerate(range(0, max(len(aa) - overlap, 1),
                                              chunk - overlap)):
                     buf_meta.append((gidx, int(ci), fid, s, si == 0))
@@ -213,8 +195,9 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
                     if len(buf_rows) == sketch_rows:
                         _flush()
     _flush()
-    while pending:
-        _drain_one()
+    if pipe is not None:
+        for ms, out in pipe.finish():
+            _consume(ms, *out)
     metrics.add("pmap_t_sketch", _time.perf_counter() - _t)
     _t = _time.perf_counter()
 
@@ -222,6 +205,7 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
     cand_all = []   # (aa row, genome, contig, frame, win start, win aa, cid)
     cid_base = 0    # cross-frame cluster ids, unique across genomes
     for gidx in sorted(queries):
+        _tg = _time.perf_counter()
         qh, qg, qp = queries[gidx]
         parts = per_g[gidx]
         if not parts:
@@ -239,6 +223,8 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
             order = np.argsort(gh, kind="stable")
         gh, gctg, gfid, gposa = (gh[order], gctg[order], gfid[order],
                                  gposa[order])
+        metrics.add("pmap_t_jw_gsort", _time.perf_counter() - _tg)
+        _tg = _time.perf_counter()
 
         # --- join + chain ------------------------------------------------
         lo = np.searchsorted(gh, qh, side="left")
@@ -267,6 +253,8 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
         first = np.flatnonzero(brk)
         c_ex, c_ct, c_f = exs[first], cts[first], fds[first]
         c_g, c_q = gps2[first], qps2[first]
+        metrics.add("pmap_t_jw_chain", _time.perf_counter() - _tg)
+        _tg = _time.perf_counter()
         # --- frameshift-aware cross-frame chain clustering ---------------
         # A frameshifted copy produces chains in DIFFERENT frames of one
         # strand group whose NUCLEOTIDE diagonals differ by only the indel
@@ -304,6 +292,8 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
         c_ex, c_ct, c_f = c_ex[chain_keep], c_ct[chain_keep], c_f[chain_keep]
         c_g, c_q = c_g[chain_keep], c_q[chain_keep]
         cid = cid[chain_keep]
+        metrics.add("pmap_t_jw_cluster", _time.perf_counter() - _tg)
+        _tg = _time.perf_counter()
 
         # --- collect candidate windows (host slices; alignment is batched
         # across ALL genomes below — one row per launch wasted 7/8 of every
@@ -383,6 +373,7 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
         if len(c_ex):
             cid_base += int(cid.max()) + 1
         frame_cache.clear()
+        metrics.add("pmap_t_jw_window", _time.perf_counter() - _tg)
 
     # --- batched alignment over all collected candidates ------------------
     metrics.add("pmap_t_join_window", _time.perf_counter() - _t)
@@ -422,6 +413,8 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
                 if (Ppad, W) not in warmed:
                     jax.block_until_ready(handle)
                     warmed.add((Ppad, W))
+                from ..utils.fetch import copy_async
+                copy_async(handle)
                 launches.append((chunk_rows, handle))
                 metrics.add("sw_launches", 1)
                 metrics.add("protein_map_windows", len(chunk_rows))

@@ -16,6 +16,18 @@ import numpy as np
 CHUNK_BYTES = 256 << 20   # effectively off; see module docstring
 
 
+def copy_async(x) -> None:
+    """Start x's device->host copy without blocking (jax.Array
+    copy_to_host_async).  Launch loops call this on each result handle
+    as it is enqueued so the later fetch loop completes from the local
+    buffer instead of paying one serialized tunnel round trip per
+    launch; backends without async copies just fetch synchronously."""
+    try:
+        x.copy_to_host_async()
+    except Exception:
+        pass
+
+
 def fetch_np(x, chunk_bytes: int = CHUNK_BYTES) -> np.ndarray:
     """np.asarray(x), sliced along axis 0 when above chunk_bytes.
 
