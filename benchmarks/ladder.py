@@ -107,6 +107,17 @@ def main() -> int:
     ap.add_argument("--resume", action="store_true",
                     help="fixed out_dir + phase cache: a crash/stall "
                          "resumes at the failed phase (big configs)")
+    ap.add_argument("--record", action="store_true",
+                    help="stamp rows as the authoritative record: "
+                         "bench.py's extras prefer record rows over any "
+                         "date ordering.  Use ONLY for runs from a "
+                         "session whose health was verified (paired "
+                         "kernel slopes in the normal band, no "
+                         "concurrent host work)")
+    ap.add_argument("--degraded", action="store_true",
+                    help="stamp rows as degraded-session data: bench.py "
+                         "ignores them whenever any other artifact "
+                         "covers the config")
     args = ap.parse_args()
 
     from peppan_tpu.utils import jaxinit
@@ -116,6 +127,10 @@ def main() -> int:
     for n in args.configs:
         print(f"=== config: {n} genomes ===", flush=True)
         r = run_config(n, warm=args.warm, resume=args.resume)
+        if args.record:
+            r["record"] = True
+        if args.degraded:
+            r["degraded_session"] = True
         out.append(r)
         print(json.dumps(r, indent=1), flush=True)
     if args.json:

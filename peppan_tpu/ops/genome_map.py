@@ -141,6 +141,24 @@ def index_genomes(store: GenomeStore, *, k: int = 13, w: int = 8,
     return GenomeIndex(h[order], c[order], p[order], s[order], k, w)
 
 
+def put_launch_rows(arrs, mesh):
+    """device_put window-align launch arrays, rows sharded over the
+    flattened ('data','db') mesh axis (SURVEY §2.3 DP row / §7.1.4
+    genomes x genes tile alignment).  The genome-map window launches are
+    the pipeline's dominant phase (449.9 s of 876.9 s at the 2000-genome
+    rung), so on real multi-chip hardware they must scale like the
+    verification passes (ops.pairs.verify_pairs) rather than run on the
+    default device.  Rows are per-window independent, so sharding the
+    batch dimension never changes results (asserted byte-identical by
+    tests/determinism/test_mesh_pipeline.py and the driver dryrun).
+    mesh=None returns the arrays unchanged (single-device path)."""
+    if mesh is None:
+        return arrs
+    from jax.sharding import NamedSharding, PartitionSpec
+    sh = NamedSharding(mesh, PartitionSpec(("data", "db")))
+    return tuple(jax.device_put(a, sh) for a in arrs)
+
+
 @dataclasses.dataclass
 class MapHits:
     """Exemplar placements on genomes (parallel arrays, fwd-strand coords,
@@ -237,8 +255,13 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
                   min_seeds: int = 2, stitch_gap: int = 300,
                   max_seed_occ: int | None = None,
                   xdrop_floor: int = 0,
-                  launch_cache=None, table=None) -> MapHits:
+                  launch_cache=None, table=None, mesh=None) -> MapHits:
     """Map every exemplar gene onto every genome.
+
+    mesh: optional ('data','db') jax mesh — window-align launches shard
+    their rows over the flattened device axis (put_launch_rows), the
+    same data-parallel treatment as verify_pairs; byte-identical to the
+    single-device path.
 
     launch_cache: optional utils.manifest.LaunchCache — persists each
     launch's unpacked stats so a backend stall mid-phase resumes at the
@@ -479,6 +502,7 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
                     wt = alphabet.revcomp(wt)
                 td[ri, :len(wt)] = wt[:width]
             td = sw.prep_target_tokens(td)
+            qd, td = put_launch_rows((qd, td), mesh)
             handle = sw.sw_banded_packed(
                 qd, td, scorer=scorer, gap_open=gap_open,
                 gap_extend=gap_extend, band=band)
@@ -500,7 +524,8 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
         if isinstance(handle, dict):
             res = handle               # resumed from the launch cache
         else:
-            res = sw.unpack_stats(np.asarray(handle), len(chunk_rows))
+            from ..utils.fetch import fetch_np
+            res = sw.unpack_stats(fetch_np(handle), len(chunk_rows))
             if launch_cache is not None:
                 launch_cache.store(lname, res)
         for ri, (ex, ci, strand, a, b) in enumerate(chunk_rows):

@@ -283,6 +283,15 @@ class MatchedSketchPipeline:
     Results are bit-identical to the synchronous path: stage order per
     flush is unchanged, and flushes whose row count overflows `cap` fall
     back to the dense sketch of their kept buffer exactly as before.
+
+    Memory bound per in-flight entry (callers picking ``lag`` must
+    budget this): the pipeline holds up to ``lag + 1`` launched entries
+    AND ``lag + 1`` sliced entries at once, each pinning its dense host
+    buffer (rows x width int8) plus a (2, rows, cap) int32 device array
+    — ~16.7 MB at the DNA defaults (512 rows x cap 4096).  Total bound
+    ~= 2 * (lag + 1) * (8 * rows * cap + rows * width) bytes; the
+    default lag=4 keeps ~10 entries (~170 MB device) in flight.  Raise
+    lag or cap only with that product in mind.
     """
 
     def __init__(self, bloom_dev, *, k: int, w: int, cap: int, bits: int,

@@ -480,7 +480,11 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
             while i < m:
                 j = min(i + eff1, m)
                 sel = np.arange(i, j)
-                lname = f"{launch_tag}s_{i}"
+                # the launch width is part of the name: a --continue resume
+                # against a checkpoint written under a different grid
+                # (e.g. pre-_eff_batch code) must MISS cleanly, not load a
+                # 512-row cached result for a 1024-row sel
+                lname = f"{launch_tag}s{eff1}_{i}"
                 cached = (launch_cache.load(lname)
                           if launch_cache is not None else None)
                 if cached is not None:
@@ -529,8 +533,10 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
         while i < len(todo):
             j = min(i + eff2, len(todo))
             sel = todo[i:j]
-            lname = f"{launch_tag}v_{i}" if prefilter is not None \
-                else f"{launch_tag}_{i}"
+            # width folded into the name (see pass-1 comment): stale-grid
+            # checkpoints miss instead of shape-mismatching at out[sel] =
+            lname = f"{launch_tag}v{eff2}_{i}" if prefilter is not None \
+                else f"{launch_tag}w{eff2}_{i}"
             cached = (launch_cache.load(lname)
                       if launch_cache is not None else None)
             if cached is not None:

@@ -67,11 +67,16 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
                         band: int = 64, slack: int = 24, batch: int = 1024,
                         gap_open: int = 11, gap_extend: int = 1,
                         match_score: int = 2, chunk: int = 1 << 13,
-                        min_seeds: int = 2, xdrop_floor: int = 0) -> MapHits:
+                        min_seeds: int = 2, xdrop_floor: int = 0,
+                        mesh=None) -> MapHits:
     """Protein-search genomes for exemplars missing there.
 
     missing: {genome_index: [exemplar gene ids]}.  Returns MapHits in
     forward-strand nucleotide coordinates with nucl-equivalent scores.
+
+    mesh: optional ('data','db') jax mesh — the BLOSUM62 window-align
+    launches shard their rows over the flattened device axis
+    (genome_map.put_launch_rows), byte-identical to single-device.
 
     xdrop_floor: DIAMOND's ungapped seed-extension stage (SURVEY §2.2
     diamond row) — each candidate window's best ungapped BLOSUM62
@@ -406,6 +411,8 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
                     qt = aa_store.gene_tokens(row)
                     qd[ri, :len(qt)] = qt[:qmaxb]
                     td[ri, :len(win)] = win[:W]
+                from .genome_map import put_launch_rows
+                qd, td = put_launch_rows((qd, td), mesh)
                 handle = sw.sw_banded_packed(
                     qd, td, scorer=scorer, gap_open=gap_open,
                     gap_extend=gap_extend, band=band, n_real_tokens=20,
@@ -427,8 +434,9 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
         # query-interval coverage per cross-frame cluster
         frags = []            # (cluster, span, qstart, qend, row record)
         cl_ivals: dict = {}   # cluster -> [(qstart, qend)]
+        from ..utils.fetch import fetch_np
         for chunk_rows, handle in launches:
-            res = sw.unpack_stats(np.asarray(handle), len(chunk_rows))
+            res = sw.unpack_stats(fetch_np(handle), len(chunk_rows))
             for ri, (row, gidx, ctg, fid, a, win,
                      cluster) in enumerate(chunk_rows):
                 alen = int(res["aln_len"][ri])

@@ -114,14 +114,29 @@ def _pallas_scores_enabled() -> bool:
 
 def _pallas_stats_enabled() -> bool:
     """Whether equality-scored stats launches dispatch to the Pallas v2
-    stats kernel (bit-equal; tests/unit/test_pallas_kernel.py and an
-    on-TPU check).  DEFAULT OFF: measured on v5e (cache-proof slope,
-    P=4096 M=1024 B=128, 2026-08-17) the stats-mode Pallas kernel runs
-    ~34-36 Gcell/s vs ~95 for the XLA scan — the 17 carried (band,
-    block_p) stat tiles exceed the register budget and spill every
-    half-step, unlike score mode's 5 carries (145-155 Gcell/s).  The
-    kernel stays as a verified alternate + optimization target; flip on
-    with PEPPAN_PALLAS_STATS=1 for experiments."""
+    stats kernel (bit-equal; tests/unit/test_pallas_kernel.py).
+
+    CLOSED as ARCHIVAL, round 5 — the XLA stats scan is the production
+    engine, final.  Four rounds of measurement (BASELINE.md kernel-lab
+    tables): the Pallas stats kernel lost every variant tried — 34-36
+    (17 SSA carries), 37 (packed tracker), 44.5 (fold-shift), 37.6-42.8
+    (full unroll; spills are IN-BODY, not at chunk boundaries) — vs the
+    scan's 87-100 Gcell/s.  The round-4 VPU probe closed the question:
+    at the measured ~3.65 T int32 ops/s and ~32 ops/cell, stats-mode
+    speed of light is ~114 Gcell/s, so the scan already runs at ~76-88%
+    of the achievable ceiling and the theoretical best case for ANY
+    stats kernel is +15-30%, not the 2-6x the stale 215 G derivation
+    implied.  A split-state two-kernel scheme (coords pass + matches
+    pass, each within register budget) is bounded WORSE by arithmetic:
+    each pass re-pays the 13-op H/E/F recurrence plus ~10 stats ops
+    (~23 ops at score-kernel efficiency ~= 261*14/23 ~= 159 G/pass),
+    and the serial composition 1/(1/159+1/159) ~= 79 G loses to the
+    scan before measurement.  The remaining stats cells are also
+    VALUE-bound (cluster hits feed estimate_divergence, which consumes
+    identity values — certificate pruning measured zero-sum there), so
+    there is no decision-shortcut either.  The kernel remains only as a
+    bit-equality testbed; PEPPAN_PALLAS_STATS=1 re-enables it for
+    archaeology."""
     import os
 
     return os.environ.get("PEPPAN_PALLAS_STATS", "").lower() in (

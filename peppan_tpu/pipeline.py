@@ -309,7 +309,8 @@ def _run_inner(paths: list, cfg: PipelineConfig,
             band=cfg.band, batch=cfg.sw_batch, gap_open=cfg.gap_open,
             gap_extend=cfg.gap_extend, stitch_gap=cfg.synteny_gap,
             xdrop_floor=cfg.xdrop_floor,
-            launch_cache=launch_cache if cfg.continue_run else None)
+            launch_cache=launch_cache if cfg.continue_run else None,
+            mesh=mesh)
         if not cfg.nucl_only:
             # DIAMOND-vs-genome stage: protein-search each genome for the
             # groups that nucleotide mapping left missing there (divergent
@@ -323,7 +324,7 @@ def _run_inner(paths: list, cfg: PipelineConfig,
                     gene_store, genome_store, clusters.exemplar_ids,
                     missing, gtable=cfg.gtable,
                     min_identity=cfg.protein_identity, batch=cfg.sw_batch,
-                    xdrop_floor=cfg.aa_xdrop_floor)
+                    xdrop_floor=cfg.aa_xdrop_floor, mesh=mesh)
                 if len(phits):
                     log.info("protein_map recovered %d hits", len(phits))
                     map_hits = genome_map.MapHits.concat([map_hits, phits])

@@ -24,7 +24,10 @@ def copy_async(x) -> None:
     launch; backends without async copies just fetch synchronously."""
     try:
         x.copy_to_host_async()
-    except Exception:
+    except (AttributeError, NotImplementedError):
+        # backend simply lacks async copies; real transfer errors must NOT
+        # be swallowed here — they would otherwise resurface only at the
+        # synchronous fetch, far from their cause
         pass
 
 
