@@ -1,0 +1,89 @@
+"""Measured CPU denominator for the >=10x-vs-CPU gate (round-5 verdict
+directive 3).
+
+BASELINE.json:5 frames the throughput target as >= 10x a strong multicore
+CPU MMseqs2-class aligner; bench.py anchored that denominator to an
+ASSUMED 25 GCUPS.  This script measures an actual CPU all-vs-all number
+on THIS host: the same banded-SW engine (ops.sw XLA scan, score mode),
+the same production batch shape bench.py times on the TPU
+(P=4096, M=1024, B=128), compiled by XLA-CPU with its full intra-op
+thread pool.  Same kernel, same lane-cell accounting, same host — the
+ratio TPU_rate / CPU_rate is then apples-to-apples by construction,
+which the MMseqs2 literature figure (different cell accounting, different
+hardware) never was.
+
+CPU timing needs none of the tunnel's cache-proofing (no result cache,
+no early block_until_ready), but inputs still vary per rep out of
+paranoia.  Prints one JSON line with the measured CPU Gcell/s and the
+implied vs-CPU ratio at the committed TPU record.
+
+Usage: timeout 1800 python benchmarks/cpu_baseline.py [--reps 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import numpy as np  # noqa: E402
+
+P, M, B = 4096, 1024, 128
+
+
+def main(reps: int) -> None:
+    import jax
+    jax.config.update("jax_platforms", "cpu")   # sitecustomize pins axon
+    import jax.numpy as jnp  # noqa: F401
+
+    from peppan_tpu.ops import sw
+
+    rng = np.random.default_rng(0)
+
+    def make(n):
+        out = []
+        for _ in range(n):
+            q = rng.integers(0, 4, (P, M)).astype(np.int8)
+            t = q.copy()
+            mask = rng.random(t.shape) < 0.05
+            t[mask] = (t[mask] + 1) % 4
+            out.append((q, sw.prep_target_tokens(t)))
+        return out
+
+    scorer = sw.dna_scorer()
+
+    @jax.jit
+    def f(q, t):
+        return sw.sw_banded(q, t, scorer=scorer, band=B,
+                            with_stats=False)["score"][:1]
+
+    ins = make(reps + 1)
+    np.asarray(f(*ins[0]))                      # compile + warm
+    lane_cells = P * (2 * M - 1) * B
+    rates = []
+    for (q, t) in ins[1:]:
+        t0 = time.perf_counter()
+        np.asarray(f(q, t))
+        dt = time.perf_counter() - t0
+        rates.append(lane_cells / dt / 1e9)
+    cpu_g = float(np.median(rates))
+    print(json.dumps({
+        "metric": "cpu_sw_banded_lane_cells_per_s_host",
+        "cpu_gcells_per_s": round(cpu_g, 2),
+        "cpu_count": os.cpu_count(),
+        "samples": [round(r, 2) for r in rates],
+        "tpu_record_gcells": 193.7,
+        "tpu_over_cpu": round(193.7 / cpu_g, 1),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=3)
+    main(ap.parse_args().reps)

@@ -60,6 +60,28 @@ def _frame_one(contig: np.ndarray, fid: int, gtable: int) -> np.ndarray:
     return alphabet.translate(alphabet.revcomp(contig)[fid - 3:], gtable)
 
 
+def _frame_slice(contig: np.ndarray, fid: int, gtable: int,
+                 a0: int, b0: int) -> np.ndarray:
+    """aa tokens of frame ``fid`` positions [a0, b0) — translating ONLY
+    the covering nucleotide slice.  Bit-equal to
+    ``_frame_one(contig, fid, gtable)[a0:b0]`` (for b0 <= frame length)
+    but O(window) instead of O(contig): whole-contig translation per
+    candidate window was the measured pmap_t_jw_window wall (9.3 s of
+    the degraded-session L3 profile, round-4b counters).
+
+    Reverse frames (3-5) translate revcomp(contig)[f:], so aa position a
+    covers revcomp coords [f + 3a, f + 3a + 2] = forward coords
+    [L - f - 3a - 3, L - f - 3a - 1]; the covering forward slice for
+    [a0, b0) is contig[L - f - 3*b0 : L - f - 3*a0], revcomp'd."""
+    f = fid % 3
+    if fid < 3:
+        return alphabet.translate(contig[f + 3 * a0:f + 3 * b0], gtable)
+    L = len(contig)
+    return alphabet.translate(
+        alphabet.revcomp(contig[max(0, L - f - 3 * b0):L - f - 3 * a0]),
+        gtable)
+
+
 def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
                         exemplar_ids: np.ndarray, missing: dict, *,
                         gtable: int = 11, k: int = 7, w: int = 6,
@@ -303,15 +325,6 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
         # --- collect candidate windows (host slices; alignment is batched
         # across ALL genomes below — one row per launch wasted 7/8 of every
         # launch and paid ~150 ms tunnel latency per candidate) -----------
-        frame_cache: dict = {}
-
-        def frame_of(ctg, fid):
-            key = (ctg, fid)
-            if key not in frame_cache:
-                frame_cache[key] = _frame_one(
-                    genomes.contig_tokens(ctg), fid, gtable)
-            return frame_cache[key]
-
         # vectorized window geometry + dedup FIRST, then materialize only
         # surviving windows (the python per-chain loop with a set was the
         # scale cost here; window slices are few after quantized dedup)
@@ -344,11 +357,15 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
                 row = int(c_ex[ci2])
                 ctg = int(c_ct[ci2])
                 fid = int(c_f[ci2])
-                frame_aa = frame_of(ctg, fid)
+                ctoks = genomes.contig_tokens(ctg)
                 a = int(a_arr[ci2])
                 b = int(b_arr[ci2])
+                # O(window) slice translation (_frame_slice) — the
+                # whole-frame-per-candidate translation this replaces
+                # was the measured pmap_t_jw_window wall
                 rec = (row, gidx, ctg, fid, a,
-                       np.ascontiguousarray(frame_aa[a:b]),
+                       np.ascontiguousarray(
+                           _frame_slice(ctoks, fid, gtable, a, b)),
                        cid_base + int(cid[ci2]))
                 if blosum is None:
                     cand_all.append(rec)
@@ -357,12 +374,12 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
                 qt = aa_store.gene_tokens(row)
                 d0 = int(c_g[ci2]) - int(c_q[ci2])
                 j0 = max(0, -d0)
-                j1 = min(len(qt), len(frame_aa) - d0)
+                j1 = min(len(qt), int(flen[ci2]) - d0)
                 if j1 <= j0:
                     metrics.add("pmap_xdrop_dropped", 1)
                     continue
-                strip_rows.append(blosum[qt[j0:j1],
-                                         frame_aa[d0 + j0:d0 + j1]])
+                strip_rows.append(blosum[qt[j0:j1], _frame_slice(
+                    ctoks, fid, gtable, d0 + j0, d0 + j1)])
                 strip_meta.append(rec)
             if strip_meta:
                 from .genome_map import _ungapped_best
@@ -377,7 +394,6 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
                                 if not w)
         if len(c_ex):
             cid_base += int(cid.max()) + 1
-        frame_cache.clear()
         metrics.add("pmap_t_jw_window", _time.perf_counter() - _tg)
 
     # --- batched alignment over all collected candidates ------------------

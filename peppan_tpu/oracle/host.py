@@ -851,13 +851,19 @@ def run(genome_store: GenomeStore, gene_store: GeneStore, *,
         neighbor_check: bool = False, synteny_gap: int = 300,
         synteny_diff: float = 1.2, nucl_only: bool = True,
         protein_identity: float = 0.35, min_frag_aa: int = 20,
-        gtable: int = 11) -> dict:
+        gtable: int = 11, min_hit_score: int = 26) -> dict:
     """Phases 3-7 end to end; returns the decision set for diffing.
 
     nucl_only=False (round 4) adds the protein path on both rails the
     production pipeline has it: all-pairs AA edges in the similarity
     phase, and the naive 6-frame translated search + cross-method
-    stitch for missing (genome, group) combos before assignment."""
+    stitch for missing (genome, group) combos before assignment.
+
+    min_hit_score: map_exemplars' masking-loop floor.  The default 26 is
+    exact for SEEDED production mapping (see map_exemplars docstring);
+    diffs against --exhaustive_fallback runs must pass 1, because the
+    windowed sweep can surface hits with no exact 13-mer run
+    (tests/golden/test_vs_host_oracle_exhaustive.py)."""
     root, exemplar, exemplar_ids = cluster(
         gene_store, identity=clust_identity, coverage=clust_match_prop)
     group_root = similarity_groups(
@@ -874,7 +880,8 @@ def run(genome_store: GenomeStore, gene_store: GeneStore, *,
     hits = map_exemplars(gene_store, genome_store, exemplar_ids,
                          min_identity=match_identity,
                          min_frag_len=match_frag_len,
-                         stitch_gap=stitch_gap)
+                         stitch_gap=stitch_gap,
+                         min_hit_score=min_hit_score)
     group_of_exemplar = {int(e): int(group_root[int(e)])
                          for e in exemplar_ids}
     if not nucl_only:

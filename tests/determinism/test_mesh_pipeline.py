@@ -2,10 +2,13 @@
 4x2 virtual mesh must be byte-identical to the single-device run."""
 
 import numpy as np
+import pytest
 
 from peppan_tpu import pipeline
 from peppan_tpu.config import PipelineConfig
 from peppan_tpu.utils import simulate
+
+pytestmark = pytest.mark.slow
 
 
 def test_mesh_run_matches_single_device(tmp_path):

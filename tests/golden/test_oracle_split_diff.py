@@ -21,6 +21,8 @@ from peppan_tpu.io import gff
 from peppan_tpu.oracle import host
 from peppan_tpu.utils import simulate
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def both(tmp_path_factory):

@@ -21,6 +21,8 @@ from peppan_tpu.config import PipelineConfig
 from peppan_tpu.io import gff
 from peppan_tpu.oracle import host
 
+pytestmark = pytest.mark.slow
+
 FIX = os.path.join(os.path.dirname(__file__), "fixtures", "ref4")
 
 

@@ -31,6 +31,8 @@ from peppan_tpu.io import alphabet, gff
 from peppan_tpu.oracle import host
 from peppan_tpu.utils import simulate
 
+pytestmark = pytest.mark.slow
+
 # AA token swaps inside one Murphy-10 group (ops.minimizers.MURPHY10):
 # the reduced k-mers — and therefore production's seeds — are unchanged
 _AA = alphabet.AA_ALPHA

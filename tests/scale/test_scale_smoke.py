@@ -10,10 +10,13 @@ in the hermetic CPU suite at a size that stays under a minute.
 """
 
 import numpy as np
+import pytest
 
 from peppan_tpu import pipeline
 from peppan_tpu.config import PipelineConfig
 from peppan_tpu.utils import metrics, simulate
+
+pytestmark = pytest.mark.slow
 
 
 def test_midsize_pipeline_invariants(tmp_path):

@@ -196,3 +196,20 @@ def test_subthreshold_frame_fragments_rescued(tmp_path):
     # boundary sanity: region sits inside the planted locus +- slack
     assert int(merged.start[i]) >= s - 1 - 96
     assert int(merged.end[i]) <= s - 1 + len(g2) + 96
+
+
+def test_frame_slice_bit_equals_whole_frame():
+    from peppan_tpu.ops import protein_map
+    # _frame_slice (O(window) translation, round-5 pmap_t_jw_window fix)
+    # must reproduce _frame_one's slices exactly for every frame and a
+    # sweep of window geometries, both strands, non-multiple-of-3 lengths
+    rng = np.random.default_rng(77)
+    for L in (301, 302, 303, 64):
+        contig = rng.integers(0, 4, L).astype(np.int8)
+        for fid in range(6):
+            full = protein_map._frame_one(contig, fid, 11)
+            flen = len(full)
+            for (a0, b0) in ((0, flen), (0, 1), (flen - 1, flen),
+                             (flen // 3, 2 * flen // 3), (5, 5)):
+                got = protein_map._frame_slice(contig, fid, 11, a0, b0)
+                assert np.array_equal(got, full[a0:b0]), (L, fid, a0, b0)
