@@ -17,6 +17,13 @@ no early block_until_ready), but inputs still vary per rep out of
 paranoia.  Prints one JSON line with the measured CPU Gcell/s and the
 implied vs-CPU ratio at the committed TPU record.
 
+Shape note: the TPU bench shape (P=4096, M=1024) would take ~50 min PER
+CALL at the measured CPU rate, so this bench uses M=64 — the rate was
+probed shape-independent to within ~15% (0.35-0.45 Gcell/s for
+(4096,64)/(2048,128)/(1024,256)/(512,256) on this 4-core host), because
+the scan saturates the cores via the (P, band) elementwise step tensors,
+whose size M does not affect.
+
 Usage: timeout 1800 python benchmarks/cpu_baseline.py [--reps 3]
 """
 
@@ -34,7 +41,7 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import numpy as np  # noqa: E402
 
-P, M, B = 4096, 1024, 128
+P, M, B = 4096, 64, 128
 
 
 def main(reps: int) -> None:
