@@ -186,7 +186,10 @@ def main() -> None:
                 inb = [g for g in s if 0.7 * med <= g <= 1.3 * med]
                 if len(inb) >= 3:
                     clean.append(float(np.median(inb)))
-                    if len(clean) >= 2:
+                    # a clean set at >= 250 G is an unambiguously healthy
+                    # session — the second set could only confirm it, and
+                    # each set costs ~6 min of driver budget
+                    if len(clean) >= 2 or clean[-1] >= 250.0:
                         break
                     continue
             if attempt < 2:
