@@ -208,6 +208,12 @@ def main() -> None:
             sw_banded_scores_pallas_v2)
         gcups, meas = gcups_of(lambda qq, tt: sw_banded_scores_pallas_v2(
             qq, tt, band=B))
+    except TimeoutError:
+        # the watchdog alarm fired MID-measurement (wedged backend) —
+        # that is a retry-whole-attempt condition, NOT "pallas
+        # unavailable"; falling back here would re-measure the scan
+        # with the alarm disarmed and hang forever on a dead backend
+        raise
     except Exception:
         variant = "xla_scan"
         gcups, meas = gcups_of(lambda qq, tt: sw.sw_banded(

@@ -44,7 +44,7 @@ import numpy as np  # noqa: E402
 P, M, B = 4096, 64, 128
 
 
-def main(reps: int) -> None:
+def main(reps: int, tpu_record: float = 193.7) -> None:
     import jax
     jax.config.update("jax_platforms", "cpu")   # sitecustomize pins axon
     import jax.numpy as jnp  # noqa: F401
@@ -85,12 +85,18 @@ def main(reps: int) -> None:
         "cpu_gcells_per_s": round(cpu_g, 2),
         "cpu_count": os.cpu_count(),
         "samples": [round(r, 2) for r in rates],
-        "tpu_record_gcells": 193.7,
-        "tpu_over_cpu": round(193.7 / cpu_g, 1),
+        "tpu_record_gcells": tpu_record,
+        "tpu_over_cpu": round(tpu_record / cpu_g, 1),
     }), flush=True)
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
-    main(ap.parse_args().reps)
+    ap.add_argument("--tpu-gcells", type=float, default=193.7,
+                    help="TPU numerator for the printed ratio; default "
+                         "is the round-4 PAIRED-MEDIAN record (the "
+                         "conservative cross-session figure — single-"
+                         "session bests run higher, e.g. 338.7 in r5)")
+    _args = ap.parse_args()
+    main(_args.reps, _args.tpu_gcells)

@@ -26,6 +26,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 
+def host_probe_seconds() -> float:
+    """~5 s host-health probe: one u64 np.sort of 68M rows.
+
+    The round-5 L4 capture showed whole-session degradation can be
+    HOST-side (shared-VM contention): pure-numpy counters ran 3-5x the
+    healthy round-4 readings on identical code+data while this probe
+    measured 4.6 s vs the healthy ~0.9 s.  Every ladder row records the
+    probe so artifact provenance is self-describing; --record runs warn
+    loudly when the host is contended (>= 2x reference)."""
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 1 << 62, 68_000_000, dtype=np.uint64)
+    t0 = time.perf_counter()
+    np.sort(x)
+    return time.perf_counter() - t0
+
+
 def run_config(n_genomes: int, *, seed: int = 1000,
                warm: bool = False, resume: bool = False) -> dict:
     from peppan_tpu import pipeline
@@ -125,8 +141,16 @@ def main() -> int:
 
     out = []
     for n in args.configs:
+        # re-probe before EVERY rung: contention arriving mid-ladder
+        # (hours at the big rungs) must show in that rung's provenance
+        probe = round(host_probe_seconds(), 2)
+        if args.record and probe >= 1.8:
+            print(f"WARNING: host probe {probe} s (healthy ~0.9 s) — "
+                  "this host is contended; a --record run captured now "
+                  "will likely NOT beat the standing record", flush=True)
         print(f"=== config: {n} genomes ===", flush=True)
         r = run_config(n, warm=args.warm, resume=args.resume)
+        r["host_probe_s"] = probe
         if args.record:
             r["record"] = True
         if args.degraded:

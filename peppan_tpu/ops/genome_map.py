@@ -151,8 +151,18 @@ def put_launch_rows(arrs, mesh):
     default device.  Rows are per-window independent, so sharding the
     batch dimension never changes results (asserted byte-identical by
     tests/determinism/test_mesh_pipeline.py and the driver dryrun).
-    mesh=None returns the arrays unchanged (single-device path)."""
+    mesh=None returns the arrays unchanged (single-device path).
+
+    Launches whose row count does not divide evenly over the flattened
+    device axis (possible when the 256-row small-launch floor meets a
+    >256-device pod, or a tiny --sw_batch) fall back to the unsharded
+    path for that launch rather than raise — row counts on the fixed
+    power-of-two grid divide any power-of-two mesh, so this triggers
+    only at configurations the grid was never sized for."""
     if mesh is None:
+        return arrs
+    n_dev = len(mesh.devices.flat)
+    if arrs[0].shape[0] % n_dev:
         return arrs
     from jax.sharding import NamedSharding, PartitionSpec
     sh = NamedSharding(mesh, PartitionSpec(("data", "db")))
@@ -483,7 +493,10 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
         i = 0
         while i < len(rows):
             chunk_rows = rows[i:i + batch]
-            lname = f"b{width}_{i}"
+            # batch width folded into the name (same stale-grid guard as
+            # ops/pairs.py): a --continue resume against a checkpoint
+            # written under a different launch grid must MISS cleanly
+            lname = f"b{width}x{batch}_{i}"
             cached = (launch_cache.load(lname)
                       if launch_cache is not None else None)
             metrics.add("map_windows", len(chunk_rows))

@@ -16,19 +16,35 @@ import numpy as np
 CHUNK_BYTES = 256 << 20   # effectively off; see module docstring
 
 
+_copy_async_warned = False
+
+
 def copy_async(x) -> None:
     """Start x's device->host copy without blocking (jax.Array
     copy_to_host_async).  Launch loops call this on each result handle
     as it is enqueued so the later fetch loop completes from the local
     buffer instead of paying one serialized tunnel round trip per
-    launch; backends without async copies just fetch synchronously."""
+    launch; backends without async copies just fetch synchronously.
+
+    The copy is a speculative optimization, so no exception may abort
+    the caller's launch phase (the tunnel throws transient errors
+    during its documented ~200-300 s stalls and the later synchronous
+    fetch self-heals).  But a REAL error must not vanish silently
+    either — anything beyond 'backend lacks async copies' logs once per
+    process so the eventual fetch failure has a visible cause nearby."""
+    global _copy_async_warned
     try:
         x.copy_to_host_async()
     except (AttributeError, NotImplementedError):
-        # backend simply lacks async copies; real transfer errors must NOT
-        # be swallowed here — they would otherwise resurface only at the
-        # synchronous fetch, far from their cause
-        pass
+        pass                      # backend simply lacks async copies
+    except Exception as e:
+        if not _copy_async_warned:
+            _copy_async_warned = True
+            import logging
+            logging.getLogger("peppan_tpu").warning(
+                "async device->host copy failed (%s: %s); falling back "
+                "to synchronous fetches — further failures suppressed",
+                type(e).__name__, e)
 
 
 def fetch_np(x, chunk_bytes: int = CHUNK_BYTES) -> np.ndarray:
