@@ -663,7 +663,9 @@ def exhaustive_missing(genes: GeneStore, genomes: GenomeStore,
         for ri, (_ex, _ci, _st, qrow, _ws, win, _qw) in enumerate(jobs):
             qd[ri] = qrow
             td[ri] = win
-        res = sw.unpack_stats(np.asarray(sw.sw_banded_packed(
+        qd, td = put_launch_rows((qd, td), mesh)
+        from ..utils.fetch import fetch_np
+        res = sw.unpack_stats(fetch_np(sw.sw_banded_packed(
             qd, td, scorer=scorer, gap_open=gap_open,
             gap_extend=gap_extend, band=band)), n)
         metrics.add("sw_lane_cells", pad * (qw + wwidth - 1) * band)
