@@ -222,6 +222,17 @@ def main() -> None:
 
     extra = {"variant": variant}
     extra.update(meas)
+    try:
+        # ~1-9 s host-health stamp (benchmarks/ladder.host_probe_seconds
+        # rationale): the slope loops time host-side fetches too, so a
+        # contended host shows up here and the reading is provenance
+        import sys
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+        from ladder import host_probe_seconds
+        extra["host_probe_s"] = round(host_probe_seconds(), 2)
+    except Exception:
+        pass
     extra.update(_ladder_extras())
     print(json.dumps({
         "metric": "sw_banded_lane_cell_updates_per_s_per_chip",
