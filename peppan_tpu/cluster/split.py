@@ -53,7 +53,7 @@ def _group_members(group_of_gene: np.ndarray) -> dict:
 def estimate_divergence(store: GeneStore, group_of_gene: np.ndarray,
                         hits: prs.PairHits, n_genomes: int, *,
                         band: int = 128,
-                        batch: int = 4096) -> DivergenceModel:
+                        batch: int = 4096, mesh=None) -> DivergenceModel:
     """Expected inter-genome gene distance from single-copy groups.
 
     Uses already-verified pair hits (phase 4 edges): for every hit whose two
@@ -89,7 +89,7 @@ def estimate_divergence(store: GeneStore, group_of_gene: np.ndarray,
     pre = base & prs.prefiltered_rows(hits)
     if pre.any():
         h2 = prs.verify_pairs(store, hits.pairs[pre], band=band,
-                              batch=batch)
+                              batch=batch, mesh=mesh)
         identity = identity.copy()
         aln_len = aln_len.copy()
         identity[pre] = h2.identity
@@ -211,7 +211,7 @@ def _cut_components(n: int, cl: np.ndarray, cr: np.ndarray, root: int,
 def partition_sequences(seqs: list, genomes: np.ndarray,
                         div: DivergenceModel, *, allowed_sigma: float = 3.0,
                         band: int = 128, batch: int = 1024,
-                        max_members: int = 128) -> np.ndarray:
+                        max_members: int = 128, mesh=None) -> np.ndarray:
     """NJ + divergence-cut partition of arbitrary token sequences.
 
     This is the re-triggered filt_per_group of the reference's assignment
@@ -241,7 +241,8 @@ def partition_sequences(seqs: list, genomes: np.ndarray,
     ns = len(sampled)
     iu, ju = np.triu_indices(ns, 1)
     pair_arr = np.stack([iu, ju], axis=1).astype(np.int32)
-    hits = prs.verify_pairs(store, pair_arr, band=band, batch=batch)
+    hits = prs.verify_pairs(store, pair_arr, band=band, batch=batch,
+                            mesh=mesh)
     dm = np.zeros((ns, ns), np.float32)
     dv = np.where(hits.aln_len > 0,
                   np.float32(1.0) - hits.identity.astype(np.float32),
@@ -280,7 +281,8 @@ def partition_sequences(seqs: list, genomes: np.ndarray,
             [seqs[i] for i in range(n)], genome=genomes)
         pair2 = np.asarray([(u, rep) for u in unsampled
                             for _lbl, rep in rep_items], np.int32)
-        h2 = prs.verify_pairs(all_seqs, pair2, band=band, batch=batch)
+        h2 = prs.verify_pairs(all_seqs, pair2, band=band, batch=batch,
+                              mesh=mesh)
         ident = h2.identity.reshape(len(unsampled), len(rep_items))
         best = np.argmax(ident, axis=1)
         for ui, u in enumerate(unsampled):
@@ -291,7 +293,7 @@ def partition_sequences(seqs: list, genomes: np.ndarray,
 def split_groups(store: GeneStore, group_of_gene: np.ndarray,
                  div: DivergenceModel, *, allowed_sigma: float = 3.0,
                  max_members: int = 128, band: int = 128,
-                 batch: int = 1024) -> np.ndarray:
+                 batch: int = 1024, mesh=None) -> np.ndarray:
     """Split paralog-containing groups; returns new group labels.
 
     New labels are allocated past the current max so untouched groups keep
@@ -352,7 +354,8 @@ def split_groups(store: GeneStore, group_of_gene: np.ndarray,
     from ..utils import metrics
     _t = _time.perf_counter()
     pair_arr = np.asarray(pair_rows, np.int32)
-    hits = prs.verify_pairs(store, pair_arr, band=band, batch=batch)
+    hits = prs.verify_pairs(store, pair_arr, band=band, batch=batch,
+                            mesh=mesh)
     metrics.add("split_t_verify", _time.perf_counter() - _t)
     _t = _time.perf_counter()
     # unaligned pairs -> maximal distance (vectorized; pair_rows are
@@ -427,7 +430,7 @@ def split_groups(store: GeneStore, group_of_gene: np.ndarray,
                               for _c, rep in rep_list)
     if pending:
         h2 = prs.verify_pairs(store, np.asarray(pair2_rows, np.int32),
-                              band=band, batch=batch)
+                              band=band, batch=batch, mesh=mesh)
         ofs2 = 0
         for (unsampled, rep_list, label_of_comp) in pending:
             m2 = len(unsampled) * len(rep_list)

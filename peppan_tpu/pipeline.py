@@ -370,11 +370,11 @@ def _run_inner(paths: list, cfg: PipelineConfig,
             div = split.estimate_divergence(gene_store, group_of_gene,
                                             clusters.hits, n_total_genomes,
                                             band=cfg.band,
-                                            batch=cfg.sw_batch)
+                                            batch=cfg.sw_batch, mesh=mesh)
             new_groups = split.split_groups(
                 gene_store, group_of_gene, div,
                 allowed_sigma=cfg.allowed_sigma, band=cfg.band,
-                batch=cfg.sw_batch)
+                batch=cfg.sw_batch, mesh=mesh)
             cache.store("paralog_split", {"labels": new_groups})
         # name fresh subgroup labels after their smallest member gene
         n_old = len(group_names)
@@ -402,7 +402,7 @@ def _run_inner(paths: list, cfg: PipelineConfig,
     if cfg.paralog_split:
         div_model = split.estimate_divergence(
             gene_store, group_of_gene, clusters.hits, n_total_genomes,
-            band=cfg.band, batch=cfg.sw_batch)
+            band=cfg.band, batch=cfg.sw_batch, mesh=mesh)
 
         def resplit_fn(_gid, hit_idx, _mh=map_hits):
             seqs = []
@@ -416,7 +416,7 @@ def _run_inner(paths: list, cfg: PipelineConfig,
             return split.partition_sequences(
                 seqs, _mh.genome[np.asarray(hit_idx, np.int64)], div_model,
                 allowed_sigma=cfg.allowed_sigma, band=cfg.band,
-                batch=cfg.sw_batch)
+                batch=cfg.sw_batch, mesh=mesh)
 
     regions = greedy.greedy_assign(
         map_hits, group_of_exemplar, gene_store, genome_store,
