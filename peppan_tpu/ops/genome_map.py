@@ -35,6 +35,7 @@ import numpy as np
 from ..io import alphabet
 from ..io.tokens import GeneStore, GenomeStore, make_length_buckets
 from ..utils import metrics
+from ..utils.fetch import copy_async, fetch_np
 from . import minimizers, sw
 
 
@@ -141,32 +142,56 @@ def index_genomes(store: GenomeStore, *, k: int = 13, w: int = 8,
     return GenomeIndex(h[order], c[order], p[order], s[order], k, w)
 
 
-def put_launch_rows(arrs, mesh):
-    """device_put window-align launch arrays, rows sharded over the
-    flattened ('data','db') mesh axis (SURVEY §2.3 DP row / §7.1.4
-    genomes x genes tile alignment).  The genome-map window launches are
-    the pipeline's dominant phase (449.9 s of 876.9 s at the 2000-genome
-    rung), so on real multi-chip hardware they must scale like the
-    verification passes (ops.pairs.verify_pairs) rather than run on the
-    default device.  Rows are per-window independent, so sharding the
-    batch dimension never changes results (asserted byte-identical by
-    tests/determinism/test_mesh_pipeline.py and the driver dryrun).
-    mesh=None returns the arrays unchanged (single-device path).
+_shard_map_cache: dict = {}
 
-    Launches whose row count does not divide evenly over the flattened
-    device axis (possible when the 256-row small-launch floor meets a
+
+def launch_rows_sharded(mesh, fn, q, t):
+    """Run a packed-stats launch ``fn(q, t) -> int32[7, rows]`` with its
+    rows sharded over the flattened ('data','db') mesh axis (SURVEY §2.3
+    DP row / §7.1.4 genomes x genes tile alignment).  The genome-map
+    window launches are the pipeline's dominant phase (449.9 s of
+    876.9 s at the 2000-genome rung), so on real multi-chip hardware
+    they must scale like the verification passes rather than run on the
+    default device.
+
+    MANUAL SPMD via shard_map, not GSPMD sharding propagation: each
+    device traces ``fn`` on its LOCAL (rows/n_dev, width) shard, so the
+    backend kernel dispatch inside ops.sw — including the Pallas fast
+    paths — sees local shapes, and Mosaic custom calls never meet
+    GSPMD's partitioner (an untested combination on pods; round-5
+    review).  Per-shard row counts that fail the Pallas P %% 128 guard
+    simply take the XLA-scan engine on that shard — dispatch is decided
+    per-device, bit-equal either way.  Rows are per-window independent,
+    so sharding never changes results (asserted byte-identical by
+    tests/determinism/test_mesh_pipeline.py and the driver dryrun).
+
+    mesh=None runs ``fn`` unchanged.  Row counts that do not divide the
+    flattened device count (the 256-row small-launch floor meeting a
     >256-device pod, or a tiny --sw_batch) fall back to the unsharded
-    path for that launch rather than raise — row counts on the fixed
-    power-of-two grid divide any power-of-two mesh, so this triggers
-    only at configurations the grid was never sized for."""
+    path for that launch and count ``launch_shard_fallback`` so a
+    silently-unsharded dominant phase is visible in the counters.
+
+    ``fn`` should be a stable callable (module function or a partial
+    built once per phase) — the shard_map-wrapped jit is cached on
+    (mesh, fn) identity, so per-launch lambdas would retrace."""
     if mesh is None:
-        return arrs
+        return fn(q, t)
     n_dev = len(mesh.devices.flat)
-    if arrs[0].shape[0] % n_dev:
-        return arrs
+    if q.shape[0] % n_dev:
+        metrics.add("launch_shard_fallback", 1)
+        return fn(q, t)
+    key = (mesh, fn)
+    sfn = _shard_map_cache.get(key)
+    if sfn is None:
+        from jax.sharding import PartitionSpec
+        spec = PartitionSpec(("data", "db"))
+        sfn = jax.jit(jax.shard_map(
+            fn, mesh=mesh, in_specs=(spec, spec),
+            out_specs=PartitionSpec(None, ("data", "db"))))
+        _shard_map_cache[key] = sfn
     from jax.sharding import NamedSharding, PartitionSpec
     sh = NamedSharding(mesh, PartitionSpec(("data", "db")))
-    return tuple(jax.device_put(a, sh) for a in arrs)
+    return sfn(jax.device_put(q, sh), jax.device_put(t, sh))
 
 
 @dataclasses.dataclass
@@ -269,7 +294,7 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
     """Map every exemplar gene onto every genome.
 
     mesh: optional ('data','db') jax mesh — window-align launches shard
-    their rows over the flattened device axis (put_launch_rows), the
+    their rows over the flattened device axis (launch_rows_sharded), the
     same data-parallel treatment as verify_pairs; byte-identical to the
     single-device path.
 
@@ -485,6 +510,11 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
     qw_all = max(_bucket_width(int(genes.length[
         [r[0] for r in cand_rows]].max())), band)
     scorer = sw.dna_scorer()
+    # one stable callable per phase: launch_rows_sharded caches its
+    # shard_map jit on (mesh, fn) identity
+    launch_fn = functools.partial(sw.sw_banded_packed, scorer=scorer,
+                                  gap_open=gap_open,
+                                  gap_extend=gap_extend, band=band)
     launches = []
     results = []
     warmed: set = set()
@@ -515,16 +545,12 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
                     wt = alphabet.revcomp(wt)
                 td[ri, :len(wt)] = wt[:width]
             td = sw.prep_target_tokens(td)
-            qd, td = put_launch_rows((qd, td), mesh)
-            handle = sw.sw_banded_packed(
-                qd, td, scorer=scorer, gap_open=gap_open,
-                gap_extend=gap_extend, band=band)
+            handle = launch_rows_sharded(mesh, launch_fn, qd, td)
             # first launch of a new shape syncs (compile-under-async-queue
             # wedges the tunnelled client; see ops/pairs.py)
             if (P, width) not in warmed:
                 jax.block_until_ready(handle)
                 warmed.add((P, width))
-            from ..utils.fetch import copy_async
             copy_async(handle)
             launches.append((chunk_rows, handle, lname))
             metrics.add("sw_lane_cells", P * (qw_all + width - 1) * band)
@@ -537,7 +563,6 @@ def map_exemplars(genes: GeneStore, genomes: GenomeStore,
         if isinstance(handle, dict):
             res = handle               # resumed from the launch cache
         else:
-            from ..utils.fetch import fetch_np
             res = sw.unpack_stats(fetch_np(handle), len(chunk_rows))
             if launch_cache is not None:
                 launch_cache.store(lname, res)
@@ -617,35 +642,39 @@ def exhaustive_missing(genes: GeneStore, genomes: GenomeStore,
     rows = []
     stats_jobs = []          # (ex, contig, strand, q_row, window_start)
     for genome in sorted(missing):
-        ex_ids = sorted({int(e) for e in missing[genome]})
-        if not ex_ids:
-            continue
-        qw = max(_bucket_width(int(genes.length[ex_ids].max())), band)
-        nq = 2 * len(ex_ids)
-        nq_pad = _pad_pow2(nq, max(batch, nq))
-        q = np.full((nq_pad, qw), alphabet.DNA_PAD, np.int8)
-        for i, ex in enumerate(ex_ids):
-            t = genes.gene_tokens(ex)[:qw]
-            q[2 * i, :len(t)] = t
-            q[2 * i + 1, :len(t)] = alphabet.revcomp(t)
-        metrics.add("exhaustive_combos", len(ex_ids))
-        for ci in np.flatnonzero(
-                np.asarray(genomes.contig_genome) == genome):
-            toks = genomes.contig_tokens(int(ci))
-            wins = seqtile.window_long_target(toks, qw, band)
-            metrics.add("sweep_windows", len(wins))
-            metrics.add("exhaustive_cells",
-                        nq_pad * len(wins) * (qw + wins.shape[1] - 1)
-                        * band)
-            score, widx = seqtile.best_windows(
-                q, wins, band=band, gap_open=gap_open,
-                gap_extend=gap_extend, batch=batch, mesh=mesh)
+        all_ex = sorted({int(e) for e in missing[genome]})
+        # chunk so nq stays on the fixed launch grid: the single-launch
+        # form padded to the RAW job count when it exceeded `batch`,
+        # giving every big fallback run a unique compile shape (tunnel
+        # compiles run minutes) and silently defeating row sharding
+        for e0 in range(0, len(all_ex), max(batch // 2, 1)):
+            ex_ids = all_ex[e0:e0 + max(batch // 2, 1)]
+            qw = max(_bucket_width(int(genes.length[ex_ids].max())), band)
+            nq = 2 * len(ex_ids)
+            nq_pad = _pad_pow2(nq, batch)
+            q = np.full((nq_pad, qw), alphabet.DNA_PAD, np.int8)
             for i, ex in enumerate(ex_ids):
-                for strand, row in ((1, 2 * i), (-1, 2 * i + 1)):
-                    if widx[row] >= 0:
-                        stats_jobs.append((ex, int(ci), strand, q[row],
-                                           int(widx[row]) * band,
-                                           wins[widx[row]], qw))
+                t = genes.gene_tokens(ex)[:qw]
+                q[2 * i, :len(t)] = t
+                q[2 * i + 1, :len(t)] = alphabet.revcomp(t)
+            metrics.add("exhaustive_combos", len(ex_ids))
+            for ci in np.flatnonzero(
+                    np.asarray(genomes.contig_genome) == genome):
+                toks = genomes.contig_tokens(int(ci))
+                wins = seqtile.window_long_target(toks, qw, band)
+                metrics.add("sweep_windows", len(wins))
+                metrics.add("exhaustive_cells",
+                            nq_pad * len(wins) * (qw + wins.shape[1] - 1)
+                            * band)
+                score, widx = seqtile.best_windows(
+                    q, wins, band=band, gap_open=gap_open,
+                    gap_extend=gap_extend, batch=batch, mesh=mesh)
+                for i, ex in enumerate(ex_ids):
+                    for strand, row in ((1, 2 * i), (-1, 2 * i + 1)):
+                        if widx[row] >= 0:
+                            stats_jobs.append((ex, int(ci), strand, q[row],
+                                               int(widx[row]) * band,
+                                               wins[widx[row]], qw))
     if not stats_jobs:
         return MapHits.concat([])
 
@@ -655,19 +684,22 @@ def exhaustive_missing(genes: GeneStore, genomes: GenomeStore,
     for job in stats_jobs:
         by_width.setdefault((job[6], job[5].shape[0]), []).append(job)
     scorer = sw.dna_scorer()
-    for (qw, wwidth), jobs in sorted(by_width.items()):
+    launch_fn = functools.partial(sw.sw_banded_packed, scorer=scorer,
+                                  gap_open=gap_open,
+                                  gap_extend=gap_extend, band=band)
+    chunked = [(qw, wwidth, jobs[j0:j0 + batch])
+               for (qw, wwidth), jobs in sorted(by_width.items())
+               for j0 in range(0, len(jobs), batch)]
+    for (qw, wwidth, jobs) in chunked:
         n = len(jobs)
-        pad = _pad_pow2(n, max(batch, n))
+        pad = _pad_pow2(n, batch)    # fixed grid: never the raw job count
         qd = np.full((pad, qw), alphabet.DNA_PAD, np.int8)
         td = np.full((pad, wwidth), sw.T_PAD, np.int8)
         for ri, (_ex, _ci, _st, qrow, _ws, win, _qw) in enumerate(jobs):
             qd[ri] = qrow
             td[ri] = win
-        qd, td = put_launch_rows((qd, td), mesh)
-        from ..utils.fetch import fetch_np
-        res = sw.unpack_stats(fetch_np(sw.sw_banded_packed(
-            qd, td, scorer=scorer, gap_open=gap_open,
-            gap_extend=gap_extend, band=band)), n)
+        res = sw.unpack_stats(fetch_np(
+            launch_rows_sharded(mesh, launch_fn, qd, td)), n)
         metrics.add("sw_lane_cells", pad * (qw + wwidth - 1) * band)
         metrics.add("sw_launches", 1)
         for ri, (ex, ci, strand, _qrow, ws, _win, _qw) in enumerate(jobs):

@@ -339,6 +339,46 @@ def _gather_align(tokens, qidx, tidx, *, scorer, gap_open, gap_extend,
     return jnp.stack([res[k] for k in sw.STATS_KEYS])
 
 
+_gather_shard_cache: dict = {}
+
+
+def _gather_sharded(mesh, which, tokens_dev, qi, ti, *, scorer, gap_open,
+                    gap_extend, band):
+    """Run a _gather_scores/_gather_align launch under shard_map: the
+    token store is replicated, the index vectors shard over the
+    flattened ('data','db') axis, and each device traces the gather +
+    alignment on its LOCAL index shard — so the Pallas fast paths
+    inside ops.sw see local shapes and Mosaic custom calls never meet
+    GSPMD's partitioner (see genome_map.launch_rows_sharded, the same
+    manual-SPMD choice).  Non-divisible row counts fall back to the
+    single-device launch with a `launch_shard_fallback` counter.
+
+    ``which`` is 'scores' or 'align'; the shard_map-wrapped jit caches
+    on (mesh, which, static scoring params) — NOT on a per-call partial
+    — so repeat callers (the resplit loop invokes verify_pairs per
+    conflicted group) reuse one compiled executable per launch shape."""
+    inner, out_is_packed = (( _gather_scores, False) if which == "scores"
+                            else (_gather_align, True))
+    n_dev = len(mesh.devices.flat)
+    if qi.shape[0] % n_dev:
+        metrics.add("launch_shard_fallback", 1)
+        return inner(tokens_dev, qi, ti, scorer=scorer, gap_open=gap_open,
+                     gap_extend=gap_extend, band=band)
+    key = (mesh, which, scorer, gap_open, gap_extend, band)
+    sfn = _gather_shard_cache.get(key)
+    if sfn is None:
+        from jax.sharding import PartitionSpec as P
+        fn = functools.partial(inner, scorer=scorer, gap_open=gap_open,
+                               gap_extend=gap_extend, band=band)
+        flat = P(("data", "db"))
+        out_spec = P(None, ("data", "db")) if out_is_packed else flat
+        sfn = jax.jit(jax.shard_map(
+            fn, mesh=mesh, in_specs=(P(), flat, flat),
+            out_specs=out_spec))
+        _gather_shard_cache[key] = sfn
+    return sfn(tokens_dev, qi, ti)
+
+
 @functools.partial(jax.jit, static_argnames=("scorer", "gap_open",
                                              "gap_extend", "band"))
 def _gather_scores(tokens, qidx, tidx, *, scorer, gap_open, gap_extend,
@@ -493,9 +533,14 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
                     continue
                 rows_padded = _pad_rows(len(sel), eff1)
                 qi, ti = put_idx(sel, rows_padded)
-                handle = _gather_scores(tokens_dev, qi, ti, scorer=scorer,
-                                        gap_open=gap_open,
-                                        gap_extend=gap_extend, band=band)
+                if mesh is not None:
+                    handle = _gather_sharded(
+                        mesh, "scores", tokens_dev, qi, ti, scorer=scorer,
+                        gap_open=gap_open, gap_extend=gap_extend, band=band)
+                else:
+                    handle = _gather_scores(
+                        tokens_dev, qi, ti, scorer=scorer, gap_open=gap_open,
+                        gap_extend=gap_extend, band=band)
                 if ("s", rows_padded) not in warmed:
                     jax.block_until_ready(handle)
                     warmed.add(("s", rows_padded))
@@ -545,9 +590,14 @@ def verify_pairs(store: GeneStore, pairs: np.ndarray, *, band: int = 128,
                 continue
             rows_padded = _pad_rows(len(sel), eff2)
             qi, ti = put_idx(sel, rows_padded)
-            handle = _gather_align(tokens_dev, qi, ti, scorer=scorer,
-                                   gap_open=gap_open,
-                                   gap_extend=gap_extend, band=band)
+            if mesh is not None:
+                handle = _gather_sharded(
+                    mesh, "align", tokens_dev, qi, ti, scorer=scorer,
+                    gap_open=gap_open, gap_extend=gap_extend, band=band)
+            else:
+                handle = _gather_align(tokens_dev, qi, ti, scorer=scorer,
+                                       gap_open=gap_open,
+                                       gap_extend=gap_extend, band=band)
             # block on the FIRST launch of each new kernel shape: issuing a
             # compile with a deep async queue wedges the tunnelled client
             # (observed: same shape compiles in 30 s fresh, 20+ min queued)

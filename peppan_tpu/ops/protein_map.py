@@ -401,7 +401,15 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
     _t = _time.perf_counter()
     from ..io.tokens import make_length_buckets
     if cand_all:
+        import functools
+
+        from ..utils.fetch import copy_async
+        from .genome_map import launch_rows_sharded
         scorer = sw.matrix_scorer(alphabet.blosum62_matrix())
+        launch_fn = functools.partial(
+            sw.sw_banded_packed, scorer=scorer, gap_open=gap_open,
+            gap_extend=gap_extend, band=band, n_real_tokens=20,
+            qpad=alphabet.AA_PAD, tpad=alphabet.AA_PAD)
         wbuckets = make_length_buckets(
             max(max(len(c[5]) for c in cand_all), band))
         qmaxb = int(wbuckets[np.searchsorted(
@@ -427,16 +435,10 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
                     qt = aa_store.gene_tokens(row)
                     qd[ri, :len(qt)] = qt[:qmaxb]
                     td[ri, :len(win)] = win[:W]
-                from .genome_map import put_launch_rows
-                qd, td = put_launch_rows((qd, td), mesh)
-                handle = sw.sw_banded_packed(
-                    qd, td, scorer=scorer, gap_open=gap_open,
-                    gap_extend=gap_extend, band=band, n_real_tokens=20,
-                    qpad=alphabet.AA_PAD, tpad=alphabet.AA_PAD)
+                handle = launch_rows_sharded(mesh, launch_fn, qd, td)
                 if (Ppad, W) not in warmed:
                     jax.block_until_ready(handle)
                     warmed.add((Ppad, W))
-                from ..utils.fetch import copy_async
                 copy_async(handle)
                 launches.append((chunk_rows, handle))
                 metrics.add("sw_launches", 1)

@@ -359,30 +359,30 @@ def test_xdrop_probe_insurance_recovers_and_shouts(tmp_path):
     assert len(hits) >= 1        # the probes' hits stay in the table
 
 
-def test_put_launch_rows_shards_and_falls_back():
-    import jax
+def test_launch_rows_sharded_and_fallback():
+    import functools
+
     from peppan_tpu.ops import genome_map, sw
     from peppan_tpu.parallel import mesh as meshmod
+    from peppan_tpu.utils import metrics
 
     mesh = meshmod.make_mesh(data=4, db=2)
     rng = np.random.default_rng(3)
     q = rng.integers(0, 4, (16, 64)).astype(np.int8)
     t = sw.prep_target_tokens(rng.integers(0, 4, (16, 96)).astype(np.int8))
-    qs, ts = genome_map.put_launch_rows((q, t), mesh)
-    # sharded over all 8 devices, bit-identical stats to unsharded
-    assert len(qs.sharding.device_set) == 8
-    a = np.asarray(sw.sw_banded_packed(qs, ts, scorer=sw.dna_scorer(),
-                                       band=32))
-    b = np.asarray(sw.sw_banded_packed(q, t, scorer=sw.dna_scorer(),
-                                       band=32))
+    fn = functools.partial(sw.sw_banded_packed, scorer=sw.dna_scorer(),
+                           band=32)
+    # shard_map over all 8 devices, bit-identical stats to unsharded
+    a = np.asarray(genome_map.launch_rows_sharded(mesh, fn, q, t))
+    b = np.asarray(fn(q, t))
     assert np.array_equal(a, b)
     # rows not divisible by the flattened device count: unsharded
-    # fallback, NOT an exception (review finding: 256-row floor vs
-    # >256-device pods)
-    q4 = q[:4]
-    t4 = t[:4]
-    out = genome_map.put_launch_rows((q4, t4), mesh)
-    assert out[0] is q4 and out[1] is t4
+    # fallback with a visible counter, NOT an exception (review finding:
+    # 256-row floor vs >256-device pods)
+    metrics.reset()
+    c = np.asarray(genome_map.launch_rows_sharded(mesh, fn, q[:4], t[:4]))
+    assert np.array_equal(c, np.asarray(fn(q[:4], t[:4])))
+    assert metrics.snapshot().get("launch_shard_fallback", 0) == 1
     # mesh=None passthrough
-    out2 = genome_map.put_launch_rows((q4, t4), None)
-    assert out2[0] is q4
+    d = np.asarray(genome_map.launch_rows_sharded(None, fn, q[:4], t[:4]))
+    assert np.array_equal(d, c)
