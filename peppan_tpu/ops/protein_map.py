@@ -98,7 +98,8 @@ def map_missing_protein(genes: GeneStore, genomes: GenomeStore,
 
     mesh: optional ('data','db') jax mesh — the BLOSUM62 window-align
     launches shard their rows over the flattened device axis
-    (genome_map.put_launch_rows), byte-identical to single-device.
+    (genome_map.launch_rows_sharded, shard_map manual SPMD),
+    byte-identical to single-device.
 
     xdrop_floor: DIAMOND's ungapped seed-extension stage (SURVEY §2.2
     diamond row) — each candidate window's best ungapped BLOSUM62
