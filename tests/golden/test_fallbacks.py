@@ -125,3 +125,57 @@ def test_profile_candidate_source_matches_minimizer(sim4, tmp_path):
     rb = {}
     for x, y in zip(b, a):
         assert rb.setdefault(int(x), int(y)) == int(y)
+
+
+def test_exhaustive_fallback_mesh_identical(unseeded_case, tmp_path):
+    # the exhaustive sweep (best_windows + the chunked, shard_map'd
+    # stats pass — round 5) must be byte-identical mesh-on vs mesh-off
+    paths, _c = unseeded_case
+    r1 = pipeline.run(
+        paths, PipelineConfig(prefix="EM", nucl_only=True,
+                              exhaustive_fallback=True),
+        out_dir=str(tmp_path / "o1"))
+    r2 = pipeline.run(
+        paths, PipelineConfig(prefix="EM", nucl_only=True,
+                              exhaustive_fallback=True,
+                              mesh_data=4, mesh_db=2),
+        out_dir=str(tmp_path / "o2"))
+    import numpy as np
+    assert np.array_equal(r1.group_of_gene, r2.group_of_gene)
+    for k in r1.outputs:
+        a = open(r1.outputs[k], "rb").read()
+        b = open(r2.outputs[k], "rb").read()
+        assert a == b, f"{k} differs between mesh and single-device runs"
+
+
+def test_gather_shard_cache_reuse():
+    # _gather_sharded must reuse one compiled executable per
+    # (mesh, which, scoring params) — per-call partials would retrace
+    # in the per-group resplit loop (round-5 review)
+    import numpy as np
+
+    from peppan_tpu.ops import pairs as prs, sw
+    from peppan_tpu.parallel import mesh as meshmod
+
+    mesh = meshmod.make_mesh(data=4, db=2)
+    scorer = sw.dna_scorer()
+    import jax
+    tokens = jax.device_put(
+        np.random.default_rng(0).integers(0, 4, (32, 64)).astype(np.int8))
+    qi = np.arange(16, dtype=np.int32)
+    ti = np.roll(qi, 1)
+    prs._gather_shard_cache.clear()
+    a = np.asarray(prs._gather_sharded(
+        mesh, "scores", tokens, qi, ti, scorer=scorer, gap_open=5,
+        gap_extend=2, band=32))
+    n1 = len(prs._gather_shard_cache)
+    b = np.asarray(prs._gather_sharded(
+        mesh, "scores", tokens, qi, ti, scorer=scorer, gap_open=5,
+        gap_extend=2, band=32))
+    assert len(prs._gather_shard_cache) == n1 == 1
+    assert np.array_equal(a, b)
+    # and the sharded result equals the plain launch
+    c = np.asarray(prs._gather_scores(tokens, jax.numpy.asarray(qi),
+                                      jax.numpy.asarray(ti), scorer=scorer,
+                                      gap_open=5, gap_extend=2, band=32))
+    assert np.array_equal(a, c)
